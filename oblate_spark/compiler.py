@@ -1,0 +1,360 @@
+"""Plan compiler: Schema specs -> Spark Column check expressions.
+
+The reference validates row-at-a-time with full error accumulation
+(oblate/schema.py:170-284). Catalyst's boolean operators short-circuit,
+so checks are compiled *as data*: every field contributes an
+``array<struct<field_key,error_code,message,value_repr>>`` of its
+violations (empty = pass); arrays are flattened into one ``_violations``
+column. That preserves the reference's "report everything" contract
+(no fail-fast across fields or validators, oblate/fields/base.py:212-224)
+while keeping every check inside whole-stage codegen.
+
+Ordering semantics compiled into each field's CASE tree
+(oblate/schema.py:226-284):
+
+1. NULL + ``null_is_missing``  -> required error / default fill
+2. NULL + ``none=False``       -> none_disallowed, nothing else runs
+3. raw validators on the pre-cast value (accumulate)
+4. type kernel (strict check or try_cast coercion)
+5. type error present -> non-raw validators suppressed
+6. non-raw validators on the loaded value (accumulate)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .errors import ErrorCode
+from .fields import Field, Object, json_inner_string, json_token_type
+
+__all__ = ["CHECK_DDL", "CompiledPlan", "SchemaCompileError", "compile_plan"]
+
+CHECK_DDL = "struct<field_key:string,error_code:string,message:string,value_repr:string>"
+KERNEL_DDL = "array<struct<key:string,code:string,message:string>>"
+
+
+class SchemaCompileError(TypeError):
+    """Raised when the DataFrame schema cannot satisfy the plan (the
+    distributed analogue of the reference's strict-type errors manifesting
+    at schema rather than row level)."""
+
+
+def _empty_checks() -> Column:
+    return F.array().cast(f"array<{CHECK_DDL}>")
+
+
+def _check(key: Column | str, code: Column | str, message: Column | str, value_repr: Column) -> Column:
+    k = F.lit(key) if isinstance(key, str) else key
+    c = F.lit(code) if isinstance(code, str) else code
+    m = F.lit(message) if isinstance(message, str) else message
+    return F.struct(
+        k.alias("field_key"),
+        c.alias("error_code"),
+        m.alias("message"),
+        value_repr.cast("string").alias("value_repr"),
+    )
+
+
+@dataclass
+class CompiledPlan:
+    schema_cls: Any
+    mode: str
+    #: one Column per field/source: array<CHECK_DDL>
+    check_arrays: list = dc_field(default_factory=list)
+    #: load_key -> loaded-value Column (post coercion/default)
+    loaded: dict = dc_field(default_factory=dict)
+    #: compile-time (schema-level) violations, emitted as constant rows
+    schema_violations: list = dc_field(default_factory=list)
+
+    def violations_column(self) -> Column:
+        if not self.check_arrays:
+            return _empty_checks()
+        return F.flatten(F.array(*self.check_arrays))
+
+
+def _make_kernel_udf(fld: Field):
+    """Arrow-batched container/nested-object kernel for one staged field.
+
+    The per-element loop below runs *inside* a pandas batch that Spark
+    ships over Arrow — the Spark plan itself stays vectorized, matching
+    the north rule's "no per-row Python" constraint the same way any
+    pandas UDF does.
+    """
+    import json
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from .pyload import load_field_value, validate_mapping
+
+    is_object = isinstance(fld, Object)
+    schema_cls = fld.schema_cls if is_object else None
+    invalid_msg = fld.invalid_message if is_object else None
+
+    def kern(s: pd.Series) -> pd.Series:
+        out: list = []
+        for raw in s:
+            if raw is None:
+                out.append(None)
+                continue
+            try:
+                value = json.loads(raw)
+            except (ValueError, TypeError):
+                out.append([{"key": "", "code": ErrorCode.TYPE_EXPR_FAILED, "message": "Must be valid JSON"}])
+                continue
+            if is_object:
+                if not isinstance(value, dict):
+                    out.append(
+                        [{"key": "", "code": ErrorCode.OBJECT_INVALID_DATATYPE, "message": invalid_msg}]
+                    )
+                    continue
+                errs = validate_mapping(schema_cls, value)
+            else:
+                _, errs = load_field_value(fld, value)
+            out.append([{"key": k, "code": c, "message": m} for (k, c, m) in errs])
+        return pd.Series(out)
+
+    return pandas_udf(kern, KERNEL_DDL)
+
+
+def _validator_checks(fld: Field, col: Column, key: str, value_repr: Column, *, raw: bool) -> list[Column]:
+    out = []
+    for v in fld.walk_validators(raw=raw):
+        msg = v.build(col, fld)
+        out.append(F.when(msg.isNotNull(), _check(key, v.code, msg, value_repr)).otherwise(F.lit(None).cast(CHECK_DDL)))
+    return out
+
+
+def _compile_field(
+    fld: Field,
+    src: Column,
+    key: str,
+    staged: bool,
+    src_dtype: Optional[T.DataType],
+) -> tuple[Column, Column]:
+    """Returns (checks_array, loaded_value) for one field."""
+    value_repr = fld.value_repr(src, staged)
+
+    # --- type kernel -------------------------------------------------------
+    kernel_checks: Optional[Column] = None
+    if staged:
+        sl = fld.staged_load(src)
+        loaded = sl.loaded
+        type_structs = [
+            F.when(
+                sl.type_error.isNotNull(),
+                _check(key, sl.type_error.getField("code"), sl.type_error.getField("message"), value_repr),
+            ).otherwise(F.lit(None).cast(CHECK_DDL))
+        ]
+        needs_kernel = isinstance(fld, Object) or fld.type_expr() is not None
+        if needs_kernel:
+            kern = _make_kernel_udf(fld)(src)
+            kernel_checks = F.coalesce(
+                F.transform(
+                    kern,
+                    lambda x: _check(
+                        F.when(x.getField("key") == "", F.lit(key)).otherwise(
+                            F.concat(F.lit(key + "."), x.getField("key"))
+                        ),
+                        x.getField("code"),
+                        x.getField("message"),
+                        F.lit(None).cast("string"),
+                    ),
+                ),
+                _empty_checks(),
+            )
+        # raw validators see the pre-cast value; best relational view of
+        # "the raw value" is the JSON payload for strings, token otherwise
+        jt = json_token_type(src)
+        raw_view = F.when(jt == "string", json_inner_string(src)).otherwise(F.trim(src))
+    else:
+        if src_dtype is not None and not fld.accepts_spark_type(src_dtype):
+            target = fld.spark_type()
+            if not getattr(fld, "strict", True) and target is not None and isinstance(src_dtype, T.StringType):
+                # non-strict coercion from a string-typed column: try_cast,
+                # NULL result on a non-NULL source = coercion failure
+                loaded = src.try_cast(target)
+                kind = type(fld).__name__.lower()
+                msg = F.concat(
+                    F.lit("Failed to coerce '"), src, F.lit(f"' to {kind}")
+                )
+                code = getattr(ErrorCode, f"{kind.upper()}_COERCION_FAILED", ErrorCode.VALIDATION_FAILED)
+                type_structs = [
+                    F.when(
+                        src.isNotNull() & loaded.isNull(), _check(key, code, msg, value_repr)
+                    ).otherwise(F.lit(None).cast(CHECK_DDL))
+                ]
+                raw_view = src
+                return _assemble(fld, src, key, loaded, type_structs, None, raw_view, value_repr), loaded
+            raise SchemaCompileError(
+                f"column {key!r} has type {src_dtype.simpleString()}, "
+                f"field {type(fld).__name__} expects {fld.spark_type()}"
+            )
+        loaded = fld.typed_load(src)
+        type_structs = [
+            F.when(t.isNotNull(), _check(key, t.getField("code"), t.getField("message"), value_repr)).otherwise(
+                F.lit(None).cast(CHECK_DDL)
+            )
+            for t in fld.typed_checks(src)
+        ]
+        raw_view = src
+
+    checks = _assemble(fld, src, key, loaded, type_structs, kernel_checks, raw_view, value_repr)
+
+    # default fill: the reference applies defaults only to *missing* keys
+    # (oblate/schema.py:204-206); ``null_is_missing`` maps SQL NULL onto
+    # that path. Without it, NULL means "explicit None" and the none-check
+    # governs — no default fill.
+    from .fields import MISSING
+
+    if fld.default is not MISSING and fld.null_is_missing:
+        default_expr = fld.default if isinstance(fld.default, Column) else F.lit(fld.default)
+        loaded = F.coalesce(loaded, default_expr)
+
+    return checks, loaded
+
+
+def _assemble(
+    fld: Field,
+    src: Column,
+    key: str,
+    loaded: Column,
+    type_structs: list[Column],
+    kernel_checks: Optional[Column],
+    raw_view: Column,
+    value_repr: Column,
+) -> Column:
+    from .fields import MISSING
+
+    raw_checks = _validator_checks(fld, raw_view, key, value_repr, raw=True)
+    nonraw_checks = _validator_checks(fld, loaded, key, value_repr, raw=False)
+
+    def arr(items: list[Column]) -> Column:
+        if not items:
+            return _empty_checks()
+        return F.filter(F.array(*items), lambda x: x.isNotNull())
+
+    raw_arr = arr(raw_checks)
+    type_arr = arr(type_structs)
+    if kernel_checks is not None:
+        type_arr = F.concat(type_arr, kernel_checks)
+    nonraw_arr = arr(nonraw_checks)
+
+    has_type_err = F.size(type_arr) > 0
+    value_checks = F.concat(
+        raw_arr, type_arr, F.when(has_type_err, _empty_checks()).otherwise(nonraw_arr)
+    )
+
+    null_repr = F.lit("None")
+    none_err = F.array(
+        _check(key, ErrorCode.NONE_DISALLOWED, "This field must not be None.", null_repr)
+    )
+    required_err = F.array(
+        _check(key, ErrorCode.FIELD_REQUIRED, "This field is required.", F.lit(None).cast("string"))
+    )
+
+    if fld.null_is_missing:
+        has_default = fld.default is not MISSING
+        return (
+            F.when(src.isNull(), required_err if (fld.required and not has_default) else _empty_checks())
+            .otherwise(value_checks)
+        )
+    return (
+        F.when(src.isNull() & F.lit(not fld.none), none_err)
+        .when(src.isNull(), _empty_checks())
+        .otherwise(value_checks)
+    )
+
+
+def _resolve_struct_type(dt: T.DataType, name: str) -> Optional[T.DataType]:
+    if isinstance(dt, T.StructType) and name in dt.fieldNames():
+        return dt[name].dataType
+    return None
+
+
+def _compile_object_children(
+    fld: Object, src: Column, key_prefix: str, src_dtype: Optional[T.DataType]
+) -> list[Column]:
+    """Typed-mode nested Object: recursively compile the nested schema over
+    struct fields, dotted field keys, children gated on parent non-NULL
+    (parity with nested raw() shape, tests/test_fields_nesting.py:48-53)."""
+    out: list[Column] = []
+    for child in fld.schema_cls.__fields__.values():
+        ckey = f"{key_prefix}.{child.load_key}"
+        csrc = src.getField(child.load_key)
+        cdt = _resolve_struct_type(src_dtype, child.load_key) if src_dtype is not None else None
+        checks, _ = _compile_field(child, csrc, ckey, staged=False, src_dtype=cdt)
+        if isinstance(child, Object):
+            out.extend(
+                F.when(src.isNotNull() & csrc.isNotNull(), c).otherwise(_empty_checks())
+                for c in _compile_object_children(child, csrc, ckey, cdt)
+            )
+        out.append(F.when(src.isNotNull(), checks).otherwise(_empty_checks()))
+    return out
+
+
+def compile_plan(
+    schema_cls: Any,
+    df: DataFrame,
+    *,
+    mode: str = "typed",
+    extra_columns_ok: tuple[str, ...] = ("row_id",),
+) -> CompiledPlan:
+    """Compile ``schema_cls`` against ``df``.
+
+    mode='typed': columns carry native Spark types (hot path).
+    mode='staged': plan columns are JSON-encoded strings (semi-structured
+    ingest; full strict/non-strict reference cast semantics).
+    """
+    staged = mode == "staged"
+    plan = CompiledPlan(schema_cls=schema_cls, mode=mode)
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    columns = set(df.columns)
+    config = schema_cls.__config__
+
+    from .fields import MISSING
+
+    for fld in schema_cls.__fields__.values():
+        key = fld.load_key
+        if key not in columns:
+            # column entirely absent == reference "missing key" path
+            # (oblate/schema.py:198-207): required error or default fill
+            if fld.default is not MISSING:
+                default_expr = fld.default if isinstance(fld.default, Column) else F.lit(fld.default)
+                plan.loaded[key] = default_expr
+            elif fld.required:
+                plan.schema_violations.append((key, ErrorCode.FIELD_REQUIRED, "This field is required."))
+                plan.check_arrays.append(
+                    F.array(
+                        _check(key, ErrorCode.FIELD_REQUIRED, "This field is required.", F.lit(None).cast("string"))
+                    )
+                )
+            continue
+
+        src = F.col(key)
+        checks, loaded = _compile_field(fld, src, key, staged, dtypes.get(key))
+        plan.check_arrays.append(checks)
+        plan.loaded[key] = loaded
+
+        if isinstance(fld, Object) and not staged:
+            plan.check_arrays.extend(
+                _compile_object_children(fld, src, key, dtypes.get(key))
+            )
+
+    # unknown / extra columns (oblate/schema.py:183-189)
+    if not config.ignore_extra:
+        known = {f.load_key for f in schema_cls.__fields__.values()}
+        for col in sorted(columns - known - set(extra_columns_ok)):
+            plan.schema_violations.append((col, ErrorCode.UNKNOWN_FIELD, "Invalid or unknown field."))
+            plan.check_arrays.append(
+                F.array(
+                    _check(col, ErrorCode.UNKNOWN_FIELD, "Invalid or unknown field.", F.col(col).cast("string"))
+                )
+            )
+
+    return plan

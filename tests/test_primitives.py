@@ -1,0 +1,135 @@
+"""Staged-mode strict/non-strict primitive cast kernel — message parity
+with reference tests/test_fields_primitive.py."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from oblate_spark import Schema, fields
+
+
+def staged_df(spark, rows: dict[str, list]):
+    """rows: column -> list of python values, JSON-encoded into string cells.
+    The literal string '__MISSING__' becomes SQL NULL."""
+    names = list(rows)
+    n = len(next(iter(rows.values())))
+    data = []
+    for i in range(n):
+        rec = {"row_id": str(i)}
+        for c in names:
+            v = rows[c][i]
+            rec[c] = None if v == "__MISSING__" else json.dumps(v)
+        data.append(rec)
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("row_id", T.StringType())]
+        + [T.StructField(c, T.StringType()) for c in names]
+    )
+    return spark.createDataFrame(data, schema)
+
+
+def violations_map(result):
+    """{row_id: [(field_key, message), ...]}"""
+    out: dict[str, list] = {}
+    for r in result.violations.collect():
+        out.setdefault(r["row_id"], []).append((r["field_key"], r["message"]))
+    return out
+
+
+class StrictSchema(Schema):
+    s = fields.String()
+    i = fields.Integer()
+    f = fields.Float()
+    b = fields.Boolean()
+
+
+class LaxSchema(Schema):
+    s = fields.String(strict=False)
+    i = fields.Integer(strict=False)
+    f = fields.Float(strict=False)
+    b = fields.Boolean(strict=False)
+
+
+def test_strict_valid(spark):
+    df = staged_df(spark, {"s": ["hi"], "i": [42], "f": [3.14], "b": [True]})
+    res = StrictSchema.validate(df, mode="staged")
+    assert violations_map(res) == {}
+    assert res.valid_rows.count() == 1
+
+
+def test_strict_invalid_datatypes(spark):
+    df = staged_df(spark, {"s": [1], "i": ["x"], "f": [3], "b": ["yes"]})
+    vm = violations_map(StrictSchema.validate(df, mode="staged"))
+    msgs = dict(vm["0"])
+    assert msgs["s"] == "Value must be a string"
+    assert msgs["i"] == "Value must be an integer"
+    # quirk: int rejected by strict Float (reference primitive.py:255)
+    assert msgs["f"] == "Value must be a floating point number"
+    assert msgs["b"] == "Value must be a boolean"
+
+
+def test_strict_bool_passes_integer(spark):
+    # quirk: isinstance(True, int) is True (reference primitive.py:114)
+    df = staged_df(spark, {"s": ["ok"], "i": [True], "f": [1.0], "b": [False]})
+    vm = violations_map(StrictSchema.validate(df, mode="staged"))
+    assert vm == {}
+
+
+def test_nonstrict_coercions(spark):
+    df = staged_df(
+        spark,
+        {
+            "s": [123, True],
+            "i": ["30", 3.99],
+            "f": ["3.14", 7],
+            "b": ["yes", "0"],
+        },
+    )
+    res = LaxSchema.validate(df, mode="staged")
+    assert violations_map(res) == {}
+    loaded = res.annotated.selectExpr(
+        "row_id",
+        "try_cast(i as bigint)",  # placeholder; loaded values checked via plan below
+    )
+    # check coerced values via plan.loaded
+    out = res.annotated.select(
+        "row_id",
+        res.plan.loaded["s"].alias("s"),
+        res.plan.loaded["i"].alias("i"),
+        res.plan.loaded["f"].alias("f"),
+        res.plan.loaded["b"].alias("b"),
+    ).collect()
+    byid = {r["row_id"]: r for r in out}
+    assert byid["0"]["s"] == "123"
+    assert byid["0"]["i"] == 30
+    assert byid["0"]["f"] == pytest.approx(3.14)
+    assert byid["0"]["b"] is True
+    assert byid["1"]["s"] == "True"
+    assert byid["1"]["i"] == 3  # int(3.99) truncates toward zero
+    assert byid["1"]["f"] == pytest.approx(7.0)
+    assert byid["1"]["b"] is False
+
+
+def test_nonstrict_coercion_failures(spark):
+    df = staged_df(
+        spark, {"s": ["x"], "i": ["invalid int"], "f": ["bad float"], "b": ["bad boolean"]}
+    )
+    vm = violations_map(LaxSchema.validate(df, mode="staged"))
+    msgs = dict(vm["0"])
+    assert msgs["i"] == "Failed to coerce 'invalid int' to integer"
+    assert msgs["f"] == "Failed to coerce 'bad float' to float"
+    assert msgs["b"] == "Failed to coerce 'bad boolean' to boolean"
+
+
+def test_boolean_custom_values(spark):
+    class B(Schema):
+        b = fields.Boolean(strict=False, true_values=["on"], false_values=["off"])
+
+    df = staged_df(spark, {"b": ["on", "off", "yes"]})
+    res = B.validate(df, mode="staged")
+    vm = violations_map(res)
+    assert list(vm) == ["2"]
+    assert vm["2"] == [("b", "Failed to coerce 'yes' to boolean")]
