@@ -96,7 +96,7 @@ def _make_kernel_udf(fld: Field):
     schema_cls = fld.schema_cls if is_object else None
     invalid_msg = fld.invalid_message if is_object else None
 
-    def kern(s: pd.Series) -> pd.Series:
+    def kern(s):
         out: list = []
         for raw in s:
             if raw is None:
@@ -119,6 +119,9 @@ def _make_kernel_udf(fld: Field):
             out.append([{"key": k, "code": c, "message": m} for (k, c, m) in errs])
         return pd.Series(out)
 
+    # real (non-string) annotations: `from __future__ import annotations`
+    # would stringify inline hints and break pandas_udf eval-type inference
+    kern.__annotations__ = {"s": pd.Series, "return": pd.Series}
     return pandas_udf(kern, KERNEL_DDL)
 
 
@@ -151,7 +154,9 @@ def _compile_field(
                 _check(key, sl.type_error.getField("code"), sl.type_error.getField("message"), value_repr),
             ).otherwise(F.lit(None).cast(CHECK_DDL))
         ]
-        needs_kernel = isinstance(fld, Object) or fld.type_expr() is not None
+        needs_kernel = isinstance(fld, Object) or (
+            fld.type_expr() is not None and getattr(fld, "needs_kernel", True)
+        )
         if needs_kernel:
             kern = _make_kernel_udf(fld)(src)
             kernel_checks = F.coalesce(

@@ -106,8 +106,8 @@ class ValidationResult:
     def metrics(self) -> dict:
         row = self.annotated.agg(
             F.count(F.lit(1)).alias("rows"),
-            F.sum(F.col("_valid").cast("long")).alias("passed"),
-            F.sum(F.size("_violations")).alias("violations"),
+            F.coalesce(F.sum(F.col("_valid").cast("long")), F.lit(0)).alias("passed"),
+            F.coalesce(F.sum(F.size("_violations")), F.lit(0)).alias("violations"),
         ).collect()[0]
         return {"rows": row["rows"], "passed": row["passed"], "violations": row["violations"]}
 

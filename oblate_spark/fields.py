@@ -227,9 +227,14 @@ class Field:
                 yield v
 
     def copy(self) -> "Field":
+        """Shallow copy with an independent validator list, so subclass
+        plans can mutate validators without affecting the parent
+        (reference oblate/schema.py:140-147)."""
         import copy as _copy
 
-        return _copy.copy(self)
+        new = _copy.copy(self)
+        new.validators = list(self.validators)
+        return new
 
     # -- compile hooks --------------------------------------------------------
     def spark_type(self) -> Optional[T.DataType]:
@@ -475,10 +480,18 @@ class Binary(Field):
 
 
 class Timestamp(Field):
-    """Timestamp column (engine extension; no reference analogue)."""
+    """Timestamp column (engine extension; no reference analogue).
+    Accepts both TIMESTAMP and TIMESTAMP_NTZ (parquet readers commonly
+    surface the latter) plus DATE."""
 
     def spark_type(self) -> T.DataType:
         return T.TimestampType()
+
+    def accepts_spark_type(self, dt: T.DataType) -> bool:
+        return isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType))
+
+    def typed_load(self, col: Column) -> Column:
+        return col
 
 
 # ---------------------------------------------------------------------------
@@ -734,6 +747,12 @@ class Union(_KernelField):
 
     def all_primitive(self) -> bool:
         return all(t in self._PRIMITIVE_TOKENS for t in self.types)
+
+    @property
+    def needs_kernel(self) -> bool:
+        # all-primitive unions compile to a pure token-type predicate;
+        # only complex arms need the Arrow kernel
+        return not self.all_primitive()
 
     def type_expr(self) -> Any:
         import typing
