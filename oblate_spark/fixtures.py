@@ -1,0 +1,191 @@
+"""Deterministic synthetic image+caption table (FIXTURES.md F1).
+
+Exactly the BASELINE.json ``input_hint`` shape:
+
+    (image_id:string, bytes:binary, w:int, h:int, fmt:string,
+     caption:string, phash:bigint)
+
+Generation is distributed (mapInPandas over ``spark.range``) and keyed
+purely by row index + seed, so any executor produces identical bytes
+for a given index — no driver-side loop, no RNG order dependence, and
+the table scales to the bench sizes without materializing on the
+driver.
+
+Defects are injected at fixed index slots (i mod 1000), giving exact
+fractions and a closed-form golden manifest (``defect_for_index``) that
+tests assert against:
+
+    slot  0-9   caption NULL            (1.0%)  -> none check
+    slot 10-14  duplicate image_id      (0.5%)  -> unique.duplicate
+    slot 15-24  duplicate phash pair    (1.0%)  -> unique.duplicate
+    slot 25-29  truncated/garbage bytes (0.5%)  -> image.decode_failed
+    slot 30-34  declared w/h mismatch   (0.5%)  -> image.dims_mismatch
+    slot 35-37  fmt not in literal set  (0.3%)  -> Literal violation
+    slot 38-42  stale stored phash      (0.5%)  -> image.phash_mismatch
+    slot 43-44  w out of [1,4096]       (0.2%)  -> Range violation
+    slot 45-49  caption length > 120    (0.5%)  -> Length violation
+    slot 950-999 hot phash bucket       (5.0%)  -> identical content
+                 (one shared image -> one shared phash: the skew case
+                 for salted aggregation; also legitimate phash dupes)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+IMAGES_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash bigint"
+)
+
+SEED = 42
+FORMATS = ("bmp", "png", "ppm")  # 0.5 / 0.3 / 0.2 mix
+_WORDS = (
+    "amber brook cedar dawn ember frost glade harbor iris juniper kestrel "
+    "lumen meadow nectar opal pine quartz raven sable thicket umber vale "
+    "willow xenon yarrow zephyr orbit pixel raster shard tensor vector"
+).split()
+
+
+def defect_for_index(i: int) -> str | None:
+    s = i % 1000
+    if s < 10:
+        return "caption_null"
+    if s < 15:
+        return "dup_image_id"
+    if s < 25:
+        return "dup_phash"
+    if s < 30:
+        return "bad_bytes"
+    if s < 35:
+        return "dims_mismatch"
+    if s < 38:
+        return "bad_fmt"
+    if s < 43:
+        return "stale_phash"
+    if s < 45:
+        return "w_range"
+    if s < 50:
+        return "caption_overlength"
+    if s >= 950:
+        return "hot_phash"
+    return None
+
+
+def _caption(rng: np.random.Generator, n_words: int) -> str:
+    return " ".join(rng.choice(_WORDS, size=n_words))
+
+
+def _pixels_for(i: int, w: int, h: int) -> np.ndarray:
+    rng = np.random.default_rng(SEED * 1_000_003 + i)
+    return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+_HOT_INDEX = -1  # sentinel index for the hot bucket's shared image
+
+
+def make_row(i: int) -> dict:
+    """One deterministic row; pure function of the index."""
+    from .functions.codecs import encode_image, phash64
+
+    rng = np.random.default_rng(SEED * 7_000_003 + i)
+    defect = defect_for_index(i)
+
+    fmt = FORMATS[0] if (i % 10) < 5 else (FORMATS[1] if (i % 10) < 8 else FORMATS[2])
+    w = int(rng.integers(16, 64))
+    h = int(rng.integers(16, 64))
+
+    pixel_index = _HOT_INDEX if defect == "hot_phash" else i
+    if defect == "hot_phash":
+        w = h = 32  # shared content must share dims
+    pixels = _pixels_for(pixel_index, w, h)
+    data = encode_image(pixels, fmt)
+    ph = phash64(pixels)
+    caption = _caption(rng, int(rng.integers(3, 15)))
+    image_id = f"img_{i:012d}"
+
+    if defect == "caption_null":
+        caption = None
+    elif defect == "dup_image_id":
+        # each dup slot copies a *distinct* clean row's id (slots 500-504
+        # of the same block) -> 5 duplicate pairs per 1000 rows
+        base = (i // 1000) * 1000 + 500 + (i % 1000 - 10)
+        image_id = f"img_{base:012d}"
+    elif defect == "dup_phash":
+        # slots 15-24 form 5 content-identical PAIRS (15&16, 17&18, ...):
+        # same pixels -> same phash, consistent with recompute (true
+        # near-duplicates beyond the hot bucket)
+        s = i % 1000
+        pair_base = (i // 1000) * 1000 + 15 + 2 * ((s - 15) // 2)
+        w = h = 32
+        pixels = _pixels_for(pair_base, w, h)
+        data = encode_image(pixels, fmt)
+        ph = phash64(pixels)
+    elif defect == "bad_bytes":
+        data = data[: max(8, len(data) // 3)] if i % 2 == 0 else b"garbage" + bytes(rng.integers(0, 256, 16, dtype=np.uint8).tobytes())
+    elif defect == "dims_mismatch":
+        w = w + 7  # declared != encoded
+    elif defect == "bad_fmt":
+        fmt = "gif"
+    elif defect == "stale_phash":
+        ph = ph ^ 0x5A5A5A5A5A5A  # flip bits -> recompute mismatch
+    elif defect == "w_range":
+        # encoded width really is out of range, so only Range fires
+        w = 4100
+        h = 2
+        pixels = _pixels_for(i, w, h)
+        data = encode_image(pixels, fmt)
+        ph = phash64(pixels)
+    elif defect == "caption_overlength":
+        caption = _caption(rng, 40)
+        while len(caption) <= 120:
+            caption += " " + _caption(rng, 10)
+
+    return {
+        "image_id": image_id,
+        "bytes": bytearray(data),
+        "w": w,
+        "h": h,
+        "fmt": fmt,
+        "caption": caption,
+        "phash": ph,
+    }
+
+
+def build_images_df(
+    spark: SparkSession, n_rows: int, *, partitions: int | None = None
+) -> DataFrame:
+    """Distributed deterministic generation: spark.range -> mapInPandas.
+
+    Each Arrow batch builds its rows from indices alone; identical
+    output regardless of parallelism (the property the local[8] vs
+    local[32] scaling benchmark depends on)."""
+    import pandas as pd
+
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 8)
+
+    def gen(iterator):
+        for pdf in iterator:
+            rows = [make_row(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n_rows, numPartitions=partitions).mapInPandas(gen, IMAGES_SCHEMA)
+
+
+def write_images_table(
+    spark: SparkSession, n_rows: int, path: str, *, partitions: int | None = None
+) -> str:
+    df = build_images_df(spark, n_rows, partitions=partitions)
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def expected_defect_counts(n_rows: int) -> dict[str, int]:
+    counts: dict[str, int] = {}
+    for i in range(n_rows):
+        d = defect_for_index(i)
+        if d:
+            counts[d] = counts.get(d, 0) + 1
+    return counts

@@ -1,0 +1,235 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle -> minhash -> band ->
+bucket-join), SimHash, and n-gram Jaccard — all pure DataFrame
+expressions (JVM-side, codegen'd; no Python UDFs anywhere).
+
+Design choice for cross-engine verifiability: hash primitives are
+``md5`` over explicit strings (identical bytes in any engine), and
+"minimum hash" is the *lexicographic* minimum of hex digests — a valid
+minhash family since md5 is uniform over hex strings. This lets the
+DuckDB oracle compute bit-identical signatures.
+
+Scale notes:
+
+* exact_duplicates — one groupBy on md5(normalized text); map-side
+  combinable; duplicate groups are tiny, joined back broadcast.
+* minhash_signatures — explode to (doc, shingle) then ONE groupBy(doc)
+  computing all H minhashes via conditional min aggregates (no
+  per-hash shuffle). Shuffle volume = distinct shingles per doc.
+* lsh_candidate_pairs — band signatures bucket-join; only docs sharing
+  a band collide. The self-join is on (band, sig) — high-cardinality
+  keys, so no skew unless a band bucket is genuinely hot (near-dup
+  cluster), which is exactly what AQE skew-split handles.
+* ngram_jaccard_pairs — O(n²) verification is applied only to LSH
+  candidates at scale (``pairs`` argument); the exhaustive variant is
+  for small oracles/tests.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = [
+    "normalized_text",
+    "exact_duplicates",
+    "shingles",
+    "minhash_signatures",
+    "lsh_band_signatures",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "embedding_near_duplicates",
+]
+
+
+def normalized_text(col):
+    """lower + collapse whitespace — the canonical form for exact dedup."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_duplicates(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    """Rows belonging to exact-duplicate groups (after normalization):
+    (id, content_hash, group_size). One shuffle on the 32-hex md5 —
+    uniformly distributed, no skew."""
+    hashed = df.select(
+        F.col(id_col), F.md5(normalized_text(F.col(text_col))).alias("content_hash")
+    )
+    groups = (
+        hashed.groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") > 1)
+    )
+    return hashed.join(groups, "content_hash").select(id_col, "content_hash", "group_size")
+
+
+def shingles(df: DataFrame, *, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+    """Distinct character k-shingles per document: (id, shingle).
+    Computed with sequence+transform (no UDF); array_distinct before the
+    explode keeps the exploded row count = distinct shingles."""
+    txt = normalized_text(F.col(text_col))
+    arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(txt) - (k - 1), F.lit(1))),
+            lambda i: txt.substr(i, F.lit(k)),
+        )
+    )
+    return df.select(F.col(id_col), F.explode(arr).alias("shingle"))
+
+
+def minhash_signatures(
+    df: DataFrame, *, id_col: str, text_col: str, k: int = 5, num_hashes: int = 16
+) -> DataFrame:
+    """(id, h, minhash) — H lexicographic-min md5 minhashes per doc.
+
+    One explode + one groupBy(id); the H mins are computed as H
+    conditional aggregates over the same shuffled data (seed prefixed
+    into the hashed string gives H independent hash functions).
+    """
+    sh = shingles(df, id_col=id_col, text_col=text_col, k=k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("shingle")))).alias(f"mh_{h}")
+        for h in range(num_hashes)
+    ]
+    wide = sh.groupBy(id_col).agg(*aggs)
+    stack = ", ".join(f"'{h}', mh_{h}" for h in range(num_hashes))
+    return wide.selectExpr(
+        id_col, f"stack({num_hashes}, {stack}) as (h, minhash)"
+    ).withColumn("h", F.col("h").cast("int"))
+
+
+def lsh_band_signatures(
+    signatures: DataFrame, *, id_col: str, rows_per_band: int = 4
+) -> DataFrame:
+    """(id, band, band_sig): md5 of the band's minhashes joined in h
+    order. Docs agreeing on all hashes within a band share band_sig."""
+    banded = signatures.withColumn("band", (F.col("h") / rows_per_band).cast("int"))
+    return banded.groupBy(id_col, "band").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("h"), F.col("minhash")))
+                    ),
+                    lambda s: s.getField("minhash"),
+                ),
+                ",",
+            )
+        ).alias("band_sig")
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Distinct candidate near-duplicate pairs (id_a < id_b) that share
+    at least one LSH band."""
+    sigs = minhash_signatures(df, id_col=id_col, text_col=text_col, k=k, num_hashes=num_hashes)
+    bands = lsh_band_signatures(sigs, id_col=id_col, rows_per_band=rows_per_band)
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "band_sig")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "band_sig")
+    return (
+        a.join(b, on=["band", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def _token_set(col):
+    return F.array_distinct(F.split(normalized_text(col), " "))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    pairs: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Token-set Jaccard similarity pairs >= threshold:
+    (id_a, id_b, jaccard).
+
+    With ``pairs`` (e.g. LSH candidates) the join is pair-driven — the
+    scale path. Without it, an exhaustive self-join (small inputs /
+    oracle checks only; quadratic by construction).
+    """
+    toks = df.select(F.col(id_col), _token_set(F.col(text_col)).alias("toks"))
+    a = toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
+    b = toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
+    if pairs is not None:
+        joined = pairs.join(a, "id_a").join(b, "id_b")
+    else:
+        joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
+    jac = inter.cast("double") / union.cast("double")
+    return joined.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash(df: DataFrame, *, id_col: str, text_col: str, bits: int = 48) -> DataFrame:
+    """(id, simhash) — per-token md5-derived hashes, bitwise weighted
+    vote, sign -> bit. ``bits``<=60 so the hash fits a BIGINT built from
+    the first 15 hex chars of md5 (conv base16 -> base10).
+
+    Near-duplicates differ in few bits; group or sort by simhash
+    prefixes to bucket them. Pure expressions: explode tokens -> one
+    groupBy(id) with ``bits`` conditional sums.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(_token_set(F.col(text_col))).alias("tok")
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint")
+    toks = toks.select(id_col, h.alias("th"))
+    aggs = [
+        F.sum(
+            (F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"b_{j}")
+        for j in range(bits)
+    ]
+    wide = toks.groupBy(id_col).agg(*aggs)
+    sig = None
+    for j in range(bits):
+        bit = F.when(F.col(f"b_{j}") > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        term = bit * F.lit(2 ** j).cast("bigint")
+        sig = term if sig is None else sig + term
+    return wide.select(F.col(id_col), sig.alias("simhash"))
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    pairs: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs >= threshold.
+
+    Dot products via zip_with + aggregate (JVM-side). Exhaustive
+    self-join for small inputs; at scale pass LSH/IVF candidate
+    ``pairs`` (see operators.similarity) to make the join linear.
+    """
+    from .similarity import cosine_expr
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if pairs is not None:
+        joined = pairs.join(a, "id_a").join(b, "id_b")
+    else:
+        joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cos = cosine_expr(F.col("va"), F.col("vb"))
+    return joined.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )

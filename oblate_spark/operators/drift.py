@@ -1,0 +1,230 @@
+"""Distribution-drift checks: histograms, PSI, KS, t-digest quantiles.
+
+Axis B of the north rule: the reference's Length/Literal checks lifted
+to distribution level (SURVEY.md §2.7). scipy/datasketches are absent
+in the sandbox, so the PSI and KS formulas are implemented directly
+(they are ~20 LoC each) and the quantile sketch is a from-scratch
+merging t-digest in numpy.
+
+Scale notes:
+
+* ``fixed_width_histogram`` — one groupBy on a derived bin id
+  (map-side combinable; at most ``nbins`` groups, so the shuffle is
+  tiny regardless of table size).
+* ``psi`` / ``ks_statistic`` — computed on the *binned* frames
+  (≤ nbins rows each): driver-side math on sketch output, never on raw
+  data.
+* ``tdigest_quantiles`` — one ``applyInPandas``-style partial sketch
+  per partition, merged on the driver: O(partitions × centroids)
+  driver work, constant executor memory.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = [
+    "fixed_width_histogram",
+    "psi",
+    "ks_statistic",
+    "drift_report",
+    "tdigest_quantiles",
+]
+
+
+def bin_expr(col, lo: float, hi: float, nbins: int):
+    """Bin id in [0, nbins-1]; values outside [lo, hi) clamp to the edge
+    bins. Identical arithmetic is used by the DuckDB oracle SQL."""
+    width = (hi - lo) / nbins
+    raw = F.floor((col - F.lit(lo)) / F.lit(width))
+    return F.greatest(F.lit(0).cast("long"), F.least(F.lit(nbins - 1).cast("long"), raw.cast("long")))
+
+
+def fixed_width_histogram(
+    df: DataFrame, col: str, *, lo: float, hi: float, nbins: int = 32
+) -> DataFrame:
+    """(bin, cnt) histogram with fixed-width bins — deterministic, so two
+    engines binning the same data agree exactly."""
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(bin_expr(F.col(col), lo, hi, nbins).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _hist_to_probs(hist: DataFrame, nbins: int) -> np.ndarray:
+    counts = np.zeros(nbins, dtype=np.float64)
+    for r in hist.collect():  # ≤ nbins rows
+        counts[int(r["bin"])] = float(r["cnt"])
+    total = counts.sum()
+    return counts / total if total > 0 else counts
+
+
+def psi(
+    expected: DataFrame,
+    actual: DataFrame,
+    *,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int = 32,
+    eps: float = 1e-6,
+) -> float:
+    """Population Stability Index between two frames on one column.
+
+    PSI = sum over bins of (p_a - p_e) * ln(p_a / p_e), with ``eps``
+    flooring empty bins. Common thresholds: <0.1 stable, 0.1-0.25
+    moderate shift, >0.25 major shift.
+    """
+    pe = _hist_to_probs(fixed_width_histogram(expected, col, lo=lo, hi=hi, nbins=nbins), nbins)
+    pa = _hist_to_probs(fixed_width_histogram(actual, col, lo=lo, hi=hi, nbins=nbins), nbins)
+    pe = np.clip(pe, eps, None)
+    pa = np.clip(pa, eps, None)
+    return float(np.sum((pa - pe) * np.log(pa / pe)))
+
+
+def ks_statistic(
+    expected: DataFrame,
+    actual: DataFrame,
+    *,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int = 256,
+) -> float:
+    """Two-sample Kolmogorov–Smirnov statistic approximated on binned
+    CDFs (exact as nbins -> distinct values; 256 bins bounds the error
+    at ~1/256 of the range)."""
+    pe = _hist_to_probs(fixed_width_histogram(expected, col, lo=lo, hi=hi, nbins=nbins), nbins)
+    pa = _hist_to_probs(fixed_width_histogram(actual, col, lo=lo, hi=hi, nbins=nbins), nbins)
+    return float(np.max(np.abs(np.cumsum(pe) - np.cumsum(pa))))
+
+
+def drift_report(
+    expected: DataFrame,
+    actual: DataFrame,
+    *,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int = 32,
+    psi_threshold: float = 0.25,
+    ks_threshold: float = 0.2,
+) -> dict:
+    p = psi(expected, actual, col=col, lo=lo, hi=hi, nbins=nbins)
+    k = ks_statistic(expected, actual, col=col, lo=lo, hi=hi, nbins=max(nbins, 128))
+    return {
+        "column": col,
+        "psi": p,
+        "ks": k,
+        "psi_exceeded": p > psi_threshold,
+        "ks_exceeded": k > ks_threshold,
+    }
+
+
+# ---------------------------------------------------------------------------
+# t-digest (from scratch, numpy): partial sketch per partition -> merge
+# ---------------------------------------------------------------------------
+
+
+class TDigest:
+    """Minimal merging t-digest (Dunning's k1 scale function idea
+    simplified to quantile-uniform compression buckets). Accurate at the
+    tails where uniform histograms are not; constant memory
+    (≤ compression centroids)."""
+
+    def __init__(self, compression: int = 100) -> None:
+        self.compression = compression
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+
+    def add(self, values: np.ndarray) -> None:
+        if len(values) == 0:
+            return
+        self.means = np.concatenate([self.means, values.astype(np.float64)])
+        self.weights = np.concatenate([self.weights, np.ones(len(values))])
+        if len(self.means) > 8 * self.compression:
+            self._compress()
+
+    def merge(self, other: "TDigest") -> None:
+        self.means = np.concatenate([self.means, other.means])
+        self.weights = np.concatenate([self.weights, other.weights])
+        self._compress()
+
+    def _compress(self) -> None:
+        if len(self.means) <= self.compression:
+            return
+        order = np.argsort(self.means)
+        means, weights = self.means[order], self.weights[order]
+        total = weights.sum()
+        # target: centroids sized by the k1 scale function — smaller near
+        # the tails (q(1-q) weighting), larger in the middle
+        cum = np.cumsum(weights) - weights / 2.0
+        q = cum / total
+        k = (self.compression / (2 * math.pi)) * np.arcsin(2 * q - 1)
+        bucket = np.floor(k - k[0]).astype(np.int64)
+        new_means, new_weights = [], []
+        for b in np.unique(bucket):
+            mask = bucket == b
+            w = weights[mask].sum()
+            new_means.append(float(np.average(means[mask], weights=weights[mask])))
+            new_weights.append(float(w))
+        self.means = np.asarray(new_means)
+        self.weights = np.asarray(new_weights)
+
+    def quantile(self, q: float) -> float:
+        self._compress()
+        if len(self.means) == 0:
+            return float("nan")
+        order = np.argsort(self.means)
+        means, weights = self.means[order], self.weights[order]
+        cum = np.cumsum(weights) - weights / 2.0
+        target = q * weights.sum()
+        return float(np.interp(target, cum, means))
+
+    def to_rows(self) -> list:
+        return [(float(m), float(w)) for m, w in zip(self.means, self.weights)]
+
+    @classmethod
+    def from_rows(cls, rows, compression: int = 100) -> "TDigest":
+        d = cls(compression)
+        if rows:
+            d.means = np.array([r[0] for r in rows], dtype=np.float64)
+            d.weights = np.array([r[1] for r in rows], dtype=np.float64)
+        return d
+
+
+def tdigest_quantiles(
+    df: DataFrame,
+    col: str,
+    quantiles: Sequence[float] = (0.01, 0.25, 0.5, 0.75, 0.99),
+    *,
+    compression: int = 100,
+) -> dict[float, float]:
+    """Distributed quantiles via per-partition t-digest partials merged
+    on the driver. Each executor sees only its partition's values inside
+    an Arrow batch; the driver merges ≤ partitions × compression
+    centroids."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf  # noqa: F401
+
+    comp = compression
+
+    def partial(iterator):
+        for pdf in iterator:
+            d = TDigest(comp)
+            vals = pdf[col].dropna().to_numpy(dtype=np.float64)
+            d.add(vals)
+            d._compress()
+            rows = d.to_rows()
+            yield pd.DataFrame({"mean": [m for m, _ in rows], "weight": [w for _, w in rows]})
+
+    partials = df.select(col).mapInPandas(partial, "mean double, weight double").collect()
+    merged = TDigest.from_rows([(r["mean"], r["weight"]) for r in partials], comp)
+    merged._compress()
+    return {q: merged.quantile(q) for q in quantiles}

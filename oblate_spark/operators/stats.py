@@ -1,0 +1,182 @@
+"""Table-level constraint operators (Axis B of BASELINE.json north_rule).
+
+These lift the reference's single-row checks to whole-table constraints
+the reference cannot express (SURVEY.md §2.7): per-column stats,
+uniqueness, referential integrity.
+
+Scale notes (designed for ~100 TB / 1000 executors, tested at sf0.1):
+
+* ``column_profile`` — ONE pass over the table, all columns aggregated
+  map-side-combinably; no shuffle beyond the final single-row agg.
+  approx_count_distinct = HyperLogLog++ (constant memory per column).
+* ``duplicate_keys`` — two-phase salted aggregation: phase 1 groups on
+  (key, salt) so a pathological hot key (e.g. a phash shared by 5% of
+  all rows — FIXTURES.md F1) spreads over ``salt_buckets`` reducers;
+  phase 2 sums the partial counts per key. With AQE on, Spark also
+  splits skewed partitions; salting makes worst-case keys safe even
+  without AQE.
+* ``referential_violations`` — LEFT ANTI join against the *distinct
+  projection* of the parent key (column pruning: only the key column is
+  scanned on the parent). ``broadcast=True`` forces a broadcast of the
+  parent keys (right side for dims that fit); default lets AQE choose.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = [
+    "column_profile",
+    "duplicate_keys",
+    "uniqueness_violations",
+    "referential_violations",
+]
+
+
+def column_profile(
+    df: DataFrame,
+    cols: Optional[Sequence[str]] = None,
+    *,
+    exact_distinct: bool = False,
+    approx_rsd: float = 0.05,
+) -> DataFrame:
+    """Per-column min/max/null-rate/distinct profile in a single pass.
+
+    Output: (column, min_value, max_value, null_rate, distinct_count,
+    row_count) — min/max stringified so heterogeneous columns stack into
+    one frame. ``exact_distinct`` switches HLL++ for an exact
+    count(DISTINCT) (used when comparing against an exact oracle).
+    """
+    if cols is None:
+        cols = df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        col = F.col(c)
+        aggs.append(F.min(col).cast("string").alias(f"{c}__min"))
+        aggs.append(F.max(col).cast("string").alias(f"{c}__max"))
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"))
+        if exact_distinct:
+            aggs.append(F.count_distinct(col).alias(f"{c}__distinct"))
+        else:
+            aggs.append(F.approx_count_distinct(col, rsd=approx_rsd).alias(f"{c}__distinct"))
+    wide = df.agg(*aggs)
+
+    # unpivot the single wide row into one row per column (stack is a
+    # projection — no extra pass over the data)
+    stack_args = []
+    for c in cols:
+        stack_args.append(f"'{c}', `{c}__min`, `{c}__max`, `{c}__nulls`, `{c}__distinct`")
+    expr = (
+        f"stack({len(cols)}, {', '.join(stack_args)}) as "
+        "(column, min_value, max_value, null_count, distinct_count)"
+    )
+    return wide.selectExpr("__n as row_count", expr).select(
+        "column",
+        "min_value",
+        "max_value",
+        (F.col("null_count") / F.col("row_count")).alias("null_rate"),
+        "distinct_count",
+        "row_count",
+    )
+
+
+def duplicate_keys(
+    df: DataFrame,
+    key_cols: Sequence[str] | str,
+    *,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Keys appearing more than once: (key..., dup_count).
+
+    Two-phase salted aggregation (SURVEY.md §2.7 "uniqueness"): phase 1
+    counts per (key, salt) where salt is derived from the partition id
+    (deterministic, no rand()); phase 2 sums partials per key. For a
+    uniform table this costs the same as a plain groupBy (count already
+    map-side combines); for a hot key it bounds any single reducer's
+    input to ~1/salt_buckets of that key's rows.
+    """
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    keys = [F.col(c) for c in key_cols]
+    salt = F.pmod(F.spark_partition_id(), F.lit(salt_buckets)).alias("__salt")
+    partial = (
+        df.select(*keys, salt)
+        .groupBy(*key_cols, "__salt")
+        .agg(F.count(F.lit(1)).alias("__partial"))
+    )
+    return (
+        partial.groupBy(*key_cols)
+        .agg(F.sum("__partial").alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def uniqueness_violations(
+    df: DataFrame,
+    key_cols: Sequence[str] | str,
+    *,
+    row_id: str,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Row-lineage form: every row whose key is duplicated, as violation
+    rows (row_id, field_key, error_code, message, dup_count).
+
+    The dup-key set is usually tiny relative to the table; the join back
+    for lineage broadcasts it when AQE sees it is small.
+    """
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    dups = duplicate_keys(df, key_cols, salt_buckets=salt_buckets)
+    field_key = ",".join(key_cols)
+    return (
+        df.join(dups, on=list(key_cols), how="inner")
+        .select(
+            F.col(row_id).cast("string").alias("row_id"),
+            F.lit(field_key).alias("field_key"),
+            F.lit("unique.duplicate").alias("error_code"),
+            F.concat(
+                F.lit("Duplicate value for unique key ("),
+                F.lit(field_key),
+                F.lit("): appears "),
+                F.col("dup_count").cast("string"),
+                F.lit(" times"),
+            ).alias("message"),
+            F.col("dup_count"),
+        )
+    )
+
+
+def referential_violations(
+    child: DataFrame,
+    parent: DataFrame,
+    *,
+    fk: str,
+    pk: str,
+    row_id: Optional[str] = None,
+    broadcast: bool = False,
+) -> DataFrame:
+    """Child rows whose FK has no matching parent PK (dangling
+    references), via LEFT ANTI join against the parent's distinct keys.
+
+    NULL FKs are not violations (SQL FK semantics). The parent side is
+    pruned to its key column before the join so the scan reads one
+    column; ``broadcast=True`` forces a broadcast anti-join for small
+    dims, otherwise AQE picks broadcast vs sort-merge at runtime.
+    """
+    parent_keys = parent.select(F.col(pk).alias(fk)).distinct()
+    if broadcast:
+        parent_keys = F.broadcast(parent_keys)
+    dangling = child.filter(F.col(fk).isNotNull()).join(parent_keys, on=fk, how="left_anti")
+    if row_id is None:
+        return dangling
+    return dangling.select(
+        F.col(row_id).cast("string").alias("row_id"),
+        F.lit(fk).alias("field_key"),
+        F.lit("referential.orphan").alias("error_code"),
+        F.concat(
+            F.lit(f"Value of {fk} has no matching {pk}: "), F.col(fk).cast("string")
+        ).alias("message"),
+        F.col(fk).cast("string").alias("value_repr"),
+    )

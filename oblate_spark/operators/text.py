@@ -1,0 +1,132 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language ID (stopword-ratio heuristic), quality scoring
+(length/punctuation/stopword ratios), token counting (whitespace + a
+BPE-ish subword regex), and document fingerprinting (bottom-k shingle
+sketch). All pure Column expressions — the formulas are deliberately
+engine-agnostic arithmetic so a SQL oracle reproduces them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "STOPWORDS",
+    "tokens_expr",
+    "token_count",
+    "subword_count",
+    "language_id",
+    "quality_score",
+    "fingerprint",
+]
+
+#: tiny per-language function-word lists — enough signal for the n-gram
+#: heuristic; deliberately short so the oracle SQL stays writable.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "de", "que", "los", "una", "por", "con", "para", "es"],
+}
+
+
+def tokens_expr(col: Column) -> Column:
+    """Whitespace tokens of the lower-cased text (empty-token safe)."""
+    return F.filter(
+        F.split(F.lower(F.trim(col)), r"\s+"), lambda t: F.length(t) > 0
+    )
+
+
+def token_count(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_tokens, n_chars): whitespace token count + char count."""
+    return df.select(
+        F.col(id_col),
+        F.size(tokens_expr(F.col(text_col))).alias("n_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+    )
+
+
+def subword_count(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    """BPE-ish token estimate: split on transitions the way byte-pair
+    tokenizers tend to (word pieces + digits + punctuation as separate
+    tokens). This is the deterministic regex approximation used for
+    budget estimates when no real tokenizer is available."""
+    pieces = F.filter(
+        F.split(F.col(text_col), r"(?=[\sA-Z0-9.,;:!?()\[\]{}'\"])|(?<=[\s.,;:!?()\[\]{}'\"])"),
+        lambda t: F.length(F.trim(t)) > 0,
+    )
+    return df.select(F.col(id_col), F.size(pieces).alias("n_subwords"))
+
+
+def _ratio_for(tokens: Column, words: list[str]) -> Column:
+    hits = F.size(F.filter(tokens, lambda t: t.isin(*words)))
+    return hits.cast("double") / F.greatest(F.size(tokens), F.lit(1)).cast("double")
+
+
+def language_id(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    """(id, lang_pred, lang_score): argmax of per-language stopword
+    ratios; 'und' (undetermined) when no stopword hits at all."""
+    tokens = tokens_expr(F.col(text_col))
+    ratio_cols = {lang: _ratio_for(tokens, words) for lang, words in STOPWORDS.items()}
+    best_score = F.greatest(*ratio_cols.values())
+    pred = F.lit("und")
+    # deterministic tie-break: alphabetical language order, first max wins
+    for lang in sorted(STOPWORDS, reverse=True):
+        pred = F.when(ratio_cols[lang] == best_score, F.lit(lang)).otherwise(pred)
+    pred = F.when(best_score <= 0, F.lit("und")).otherwise(pred)
+    return df.select(
+        F.col(id_col), pred.alias("lang_pred"), best_score.alias("lang_score")
+    )
+
+
+def quality_score(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    """(id, len_score, punct_ratio, stop_ratio, quality): a composite
+    heuristic quality score in [0,1] — the distributed form of
+    "does this document look like prose worth training on".
+
+    * len_score   — 1 capped ramp up to 500 chars
+    * punct_ratio — non-alnum-non-space chars / chars (high = noisy)
+    * stop_ratio  — any-language stopword hits / tokens (low = non-prose)
+    * quality     — 0.4*len + 0.3*(1 - min(punct*5, 1)) + 0.3*min(stop*4, 1)
+    """
+    txt = F.col(text_col)
+    n_chars = F.greatest(F.length(txt), F.lit(1))
+    len_score = F.least(F.length(txt).cast("double") / F.lit(500.0), F.lit(1.0))
+    punct = F.length(F.regexp_replace(txt, r"[A-Za-z0-9\s]", ""))
+    punct_ratio = punct.cast("double") / n_chars.cast("double")
+    tokens = tokens_expr(txt)
+    all_stops = sorted({w for ws in STOPWORDS.values() for w in ws})
+    stop_ratio = _ratio_for(tokens, all_stops)
+    quality = (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0)))
+        + F.lit(0.3) * F.least(stop_ratio * 4, F.lit(1.0))
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(len_score, 6).alias("len_score"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, *, id_col: str, text_col: str, k: int = 8, shingle_len: int = 5
+) -> DataFrame:
+    """(id, fingerprint): bottom-k sketch — md5 of the k smallest shingle
+    digests. Documents sharing most content share most of their bottom-k
+    set, so equal fingerprints ~ near-identical documents (winnowing-style
+    selection without the rolling window)."""
+    from .dedup import shingles
+
+    sh = shingles(df, id_col=id_col, text_col=text_col, k=shingle_len)
+    hashed = sh.select(F.col(id_col), F.md5(F.col("shingle")).alias("sh"))
+    bottom = (
+        hashed.groupBy(id_col)
+        .agg(F.slice(F.array_sort(F.collect_set("sh")), 1, k).alias("bk"))
+    )
+    return bottom.select(
+        F.col(id_col), F.md5(F.array_join(F.col("bk"), ",")).alias("fingerprint")
+    )

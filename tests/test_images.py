@@ -1,0 +1,102 @@
+"""Axis-A image validation: codecs, payload kernel, full-table flow
+against the golden defect manifest of the synthetic fixture
+(FIXTURES.md F1)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from oblate_spark import fixtures
+from oblate_spark.functions import codecs
+from oblate_spark.operators.images import (
+    image_payload_report,
+    image_payload_violations,
+    validate_image_table,
+)
+
+N = 1000
+
+
+@pytest.fixture(scope="module")
+def images_df(spark):
+    df = fixtures.build_images_df(spark, N, partitions=8)
+    df = df.cache()
+    df.count()
+    return df
+
+
+def test_codec_roundtrip_and_fidelity():
+    rng = np.random.default_rng(7)
+    for fmt in ("bmp", "png", "ppm"):
+        px = rng.integers(0, 256, (21, 33, 3), dtype=np.uint8)
+        out = codecs.decode_image(codecs.encode_image(px, fmt))
+        # pixel-fidelity invariant: allclose (exact for lossless codecs,
+        # PSNR>=40dB would be the threshold for lossy ones)
+        assert np.array_equal(px, out)
+        assert codecs.psnr(px, out) == float("inf")
+
+
+def test_generation_is_parallelism_invariant(spark):
+    a = fixtures.build_images_df(spark, 50, partitions=2).orderBy("image_id").collect()
+    b = fixtures.build_images_df(spark, 50, partitions=8).orderBy("image_id").collect()
+    for ra, rb in zip(a, b):
+        assert ra["image_id"] == rb["image_id"]
+        assert bytes(ra["bytes"]) == bytes(rb["bytes"])
+        assert ra["phash"] == rb["phash"]
+
+
+def test_payload_report_counts(images_df):
+    report = image_payload_report(images_df).cache()
+    expected = fixtures.expected_defect_counts(N)
+    assert report.filter("NOT decode_ok").count() == expected["bad_bytes"]
+    v = image_payload_violations(report)
+    by_code = {r["error_code"]: r["cnt"] for r in v.groupBy("error_code").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("cnt")
+    ).collect()}
+    assert by_code["image.decode_failed"] == expected["bad_bytes"]
+    assert by_code["image.dims_mismatch"] == expected["dims_mismatch"]
+    assert by_code["image.phash_mismatch"] == expected["stale_phash"]
+    # bad_fmt rows ('gif' declared, real encoding intact) -> fmt mismatch
+    assert by_code["image.fmt_mismatch"] == expected["bad_fmt"]
+    report.unpersist()
+
+
+def test_full_table_validation_matches_manifest(images_df):
+    from pyspark.sql import functions as F
+
+    violations = validate_image_table(images_df).cache()
+    by_code = {
+        r["error_code"]: r["cnt"]
+        for r in violations.groupBy("error_code").agg(F.count("*").alias("cnt")).collect()
+    }
+    exp = fixtures.expected_defect_counts(N)
+
+    assert by_code["field.none_disallowed"] == exp["caption_null"]  # caption NULL
+    assert by_code["image.decode_failed"] == exp["bad_bytes"]
+    assert by_code["image.dims_mismatch"] == exp["dims_mismatch"]
+    assert by_code["image.phash_mismatch"] == exp["stale_phash"]
+    assert by_code["validate.range"] == exp["w_range"]
+    assert by_code["validate.length"] == exp["caption_overlength"]
+    # fmt='gif': Literal violation AND payload fmt-mismatch
+    assert by_code["literal.invalid_value"] == exp["bad_fmt"]
+
+    # uniqueness: each dup_image_id row pairs with a distinct base row
+    uid = violations.filter("field_key = 'image_id'").count()
+    assert uid == 2 * exp["dup_image_id"]
+
+    # phash dups: hot bucket (all share one phash) + dup_phash pair rows
+    uph_rows = violations.filter(
+        "field_key = 'phash' AND error_code = 'unique.duplicate'"
+    ).count()
+    assert uph_rows == exp["hot_phash"] + exp["dup_phash"]
+    violations.unpersist()
+
+
+def test_exact_message_strings(images_df):
+    violations = validate_image_table(images_df, check_payload=False, check_unique=False)
+    msgs = {r["error_code"]: r["message"] for r in violations.collect()}
+    assert msgs["field.none_disallowed"] == "This field must not be None."
+    assert msgs["validate.range"] == "Value must be in range 1 to 4096 inclusive"
+    assert msgs["validate.length"] == "Value length must be less than 120 characters"
+    assert msgs["literal.invalid_value"] == "Value must be one of: 'bmp', 'png', 'ppm'"
