@@ -1,38 +1,643 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full image+caption table validation
+(schema + payload kernel + uniqueness) on a deterministic synthetic
+table, combined with row-level validation of sf0.001 lineitem.
+
+``queries()`` / ``oracle_sql()`` — one entry per operator family from
+SURVEY.md §2 and the north-rule Axis A/B extensions; oracles are exact
+ANSI-SQL twins runnable by DuckDB on the same parquet. Formula parity
+notes live next to each oracle.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
+from decimal import Decimal
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared constants (must match between Spark queries and SQL oracles)
+# ---------------------------------------------------------------------------
+
+PRICE_LO, PRICE_HI = 900.0, 105000.0
+PSI_BINS, KS_BINS = 32, 256
+PSI_EPS = 1e-6
+SHINGLE_K = 5
+NUM_HASHES, ROWS_PER_BAND = 16, 4
+JACCARD_THRESHOLD = 0.8
+FINGERPRINT_K = 8
+SIMHASH_BITS = 48
+KNN_K, KNN_QUERIES = 5, 3
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "de", "que", "los", "una", "por", "con", "para", "es"],
+}
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def _lineitem_schema():
+    """Row-level plan for lineitem: Range + Literal violations
+    (reference semantics: oblate/validate.py:151-205, fields/typings.py:64-102)."""
+    from oblate_spark import Schema, fields
+    from oblate_spark import validate as V
+
+    class LineitemRow(Schema):
+        l_quantity = fields.Float(validators=[V.Range(1, 49)])
+        l_returnflag = fields.Literal("A", "N")
+
+    return LineitemRow
+
+
+def _with_row_id(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "row_id",
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("_"),
+            F.col("l_linenumber").cast("string"),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Validate a 1000-row synthetic image table (Axis A+B) plus sf0.001
+    lineitem (row-level reference semantics); return violation counts by
+    error code — stable schema (error_code string, cnt bigint)."""
+    from oblate_spark import fixtures
+    from oblate_spark.operators.images import validate_image_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    images = fixtures.build_images_df(spark, 1000)
+    image_viol = validate_image_table(images).select("error_code")
+
+    li = _with_row_id(_read(spark, sf_dir, "lineitem"))
+    res = _lineitem_schema().validate(li, row_id="row_id", ignore_extra=True)
+    li_viol = res.violations.select("error_code")
+
+    return (
+        image_viol.unionByName(li_viol)
+        .groupBy("error_code")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("error_code")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_validate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _with_row_id(_read(spark, sf_dir, "lineitem"))
+    res = _lineitem_schema().validate(li, row_id="row_id", ignore_extra=True)
+    return res.violations.select("row_id", "field_key", "error_code", "message")
+
+
+def q_verdict_summary_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _with_row_id(_read(spark, sf_dir, "lineitem"))
+    res = _lineitem_schema().validate(li, row_id="row_id", ignore_extra=True)
+    return res.annotated.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("_valid").cast("long")).alias("n_passed"),
+        F.sum((~F.col("_valid")).cast("long")).alias("n_failed"),
+    )
+
+
+def q_column_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oblate_spark.operators.stats import column_profile
+
+    li = _read(spark, sf_dir, "lineitem")
+    prof = column_profile(
+        li, ["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"], exact_distinct=True
+    )
+    return prof.select(
+        "column",
+        "min_value",
+        "max_value",
+        F.col("null_rate").cast("double").alias("null_rate"),
+        F.col("distinct_count").cast("bigint").alias("distinct_count"),
+        F.col("row_count").cast("bigint").alias("row_count"),
+    )
+
+
+def q_duplicate_o_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oblate_spark.operators.stats import duplicate_keys
+
+    return duplicate_keys(_read(spark, sf_dir, "orders"), "o_custkey").select(
+        "o_custkey", F.col("dup_count").cast("bigint").alias("dup_count")
+    )
+
+
+def q_referential_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join referential check; the parent is filtered (o_orderkey %
+    7 != 0) so ~1/7 of child rows are genuinely dangling — exercising a
+    non-empty orphan path on clean TPC-H-ish data."""
+    from oblate_spark.operators.stats import referential_violations
+
+    li = _with_row_id(_read(spark, sf_dir, "lineitem"))
+    parent = _read(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 != 0)
+    dangling = referential_violations(li, parent, fk="l_orderkey", pk="o_orderkey")
+    return dangling.select("row_id", "l_orderkey")
+
+
+def q_histogram_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oblate_spark.operators.drift import fixed_width_histogram
+
+    li = _read(spark, sf_dir, "lineitem")
+    h = fixed_width_histogram(li, "l_extendedprice", lo=PRICE_LO, hi=PRICE_HI, nbins=PSI_BINS)
+    return h.select(F.col("bin").cast("bigint").alias("bin"), F.col("cnt").cast("bigint").alias("cnt"))
+
+
+def q_psi_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oblate_spark.operators.drift import psi
+
+    li = _read(spark, sf_dir, "lineitem")
+    val = psi(
+        li.filter("l_returnflag = 'A'"),
+        li.filter("l_returnflag = 'N'"),
+        col="l_extendedprice",
+        lo=PRICE_LO,
+        hi=PRICE_HI,
+        nbins=PSI_BINS,
+        eps=PSI_EPS,
+    )
+    return spark.createDataFrame([(Decimal(f"{val:.6f}"),)], "psi decimal(18,6)")
+
+
+def q_ks_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oblate_spark.operators.drift import ks_statistic
+
+    li = _read(spark, sf_dir, "lineitem")
+    val = ks_statistic(
+        li.filter("l_returnflag = 'A'"),
+        li.filter("l_returnflag = 'N'"),
+        col="l_extendedprice",
+        lo=PRICE_LO,
+        hi=PRICE_HI,
+        nbins=KS_BINS,
+    )
+    return spark.createDataFrame([(Decimal(f"{val:.6f}"),)], "ks decimal(18,6)")
+
+
+def q_exact_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup demonstrated on documents ∪ documents (the base table
+    has no exact dups, so the doubled table makes every doc a group of 2)."""
+    from oblate_spark.operators.dedup import exact_duplicates
+
+    d = _read(spark, sf_dir, "documents")
+    doubled = d.unionByName(d)
+    out = exact_duplicates(doubled, id_col="doc_id", text_col="text")
+    return out.select(
+        "doc_id", "content_hash", F.col("group_size").cast("bigint").alias("group_size")
+    ).distinct()
+
+
+def q_minhash_bands_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oblate_spark.operators.dedup import lsh_band_signatures, minhash_signatures
+
+    d = _read(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, id_col="doc_id", text_col="text", k=SHINGLE_K, num_hashes=NUM_HASHES)
+    bands = lsh_band_signatures(sigs, id_col="doc_id", rows_per_band=ROWS_PER_BAND)
+    return bands.select("doc_id", F.col("band").cast("bigint").alias("band"), "band_sig")
+
+
+def q_lsh_candidates_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oblate_spark.operators.dedup import lsh_candidate_pairs
+
+    d = _read(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(
+        d, id_col="doc_id", text_col="text", k=SHINGLE_K, num_hashes=NUM_HASHES, rows_per_band=ROWS_PER_BAND
+    )
+
+
+def q_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oblate_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, id_col="doc_id", text_col="text", threshold=JACCARD_THRESHOLD)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).cast("decimal(18,6)").alias("jaccard")
+    )
+
+
+def q_token_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oblate_spark.operators.text import token_count
+
+    d = _read(spark, sf_dir, "documents")
+    out = token_count(d, id_col="doc_id", text_col="text")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+def q_language_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oblate_spark.operators.text import language_id
+
+    d = _read(spark, sf_dir, "documents")
+    return language_id(d, id_col="doc_id", text_col="text").select("doc_id", "lang_pred")
+
+
+def q_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oblate_spark.operators.text import quality_score
+
+    d = _read(spark, sf_dir, "documents")
+    out = quality_score(d, id_col="doc_id", text_col="text")
+    return out.select(
+        "doc_id",
+        F.col("len_score").cast("decimal(18,6)").alias("len_score"),
+        F.col("punct_ratio").cast("decimal(18,6)").alias("punct_ratio"),
+        F.col("stop_ratio").cast("decimal(18,6)").alias("stop_ratio"),
+        F.col("quality").cast("decimal(18,6)").alias("quality"),
+    )
+
+
+def q_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oblate_spark.operators.text import fingerprint
+
+    d = _read(spark, sf_dir, "documents")
+    return fingerprint(d, id_col="doc_id", text_col="text", k=FINGERPRINT_K, shingle_len=SHINGLE_K)
+
+
+def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oblate_spark.operators.dedup import simhash
+
+    d = _read(spark, sf_dir, "documents")
+    return simhash(d, id_col="doc_id", text_col="text", bits=SIMHASH_BITS)
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oblate_spark.operators.similarity import knn_bruteforce
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < KNN_QUERIES)
+    out = knn_bruteforce(emb, q, id_col="vec_id", vec_col="embedding", k=KNN_K)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+def q_events_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-shaped batch query: tumbling-window counts. The same
+    expression runs under readStream + watermark (oblate_spark.streaming)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        F.col("event_type"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# -- rows-only queries (no SQL-expressible oracle; driver checks rows>=0) ----
+
+
+def q_image_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Axis-A flagship: violation counts by code on a 2000-row synthetic
+    image table (deterministic; golden counts asserted in tests/)."""
+    from oblate_spark import fixtures
+    from oblate_spark.operators.images import validate_image_table
+
+    images = fixtures.build_images_df(spark, 2000)
+    return (
+        validate_image_table(images)
+        .groupBy("error_code")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("error_code")
+    )
+
+
+def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oblate_spark.operators.similarity import knn_ivf
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < KNN_QUERIES)
+    out = knn_ivf(emb, q, id_col="vec_id", vec_col="embedding", k=KNN_K, n_centroids=8, nprobe=3)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
+
+
+def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oblate_spark.operators.drift import tdigest_quantiles
+
+    li = _read(spark, sf_dir, "lineitem")
+    qs = tdigest_quantiles(li, "l_extendedprice", (0.25, 0.5, 0.75))
+    rows = [(float(q), float(v)) for q, v in sorted(qs.items())]
+    return spark.createDataFrame(rows, "quantile double, value double")
+
+
+def q_subword_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oblate_spark.operators.text import subword_count
+
+    d = _read(spark, sf_dir, "documents")
+    out = subword_count(d, id_col="doc_id", text_col="text")
+    return out.select("doc_id", F.col("n_subwords").cast("bigint").alias("n_subwords"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "validate_lineitem": q_validate_lineitem,
+        "verdict_summary_lineitem": q_verdict_summary_lineitem,
+        "column_profile_lineitem": q_column_profile_lineitem,
+        "duplicate_o_custkey": q_duplicate_o_custkey,
+        "referential_lineitem_orders": q_referential_lineitem_orders,
+        "histogram_extendedprice": q_histogram_extendedprice,
+        "psi_extendedprice": q_psi_extendedprice,
+        "ks_extendedprice": q_ks_extendedprice,
+        "exact_dup_documents": q_exact_dup_documents,
+        "minhash_bands_documents": q_minhash_bands_documents,
+        "lsh_candidates_documents": q_lsh_candidates_documents,
+        "jaccard_pairs_documents": q_jaccard_pairs_documents,
+        "token_count_documents": q_token_count_documents,
+        "language_id_documents": q_language_id_documents,
+        "quality_documents": q_quality_documents,
+        "fingerprint_documents": q_fingerprint_documents,
+        "simhash_documents": q_simhash_documents,
+        "knn_bruteforce": q_knn_bruteforce,
+        "events_hourly_counts": q_events_hourly_counts,
+        # rows-only (non-SQL-expressible: image decode / sketch / regex
+        # lookarounds absent from RE2)
+        "image_validation": q_image_validation,
+        "ivf_knn": q_ivf_knn,
+        "tdigest_quantiles": q_tdigest_quantiles,
+        "subword_count_documents": q_subword_count_documents,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB SQL over pre-registered views)
+# ---------------------------------------------------------------------------
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_TOKENS = f"list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)"
+
+
+def _sql_shingles() -> str:
+    # generate_series in expression context returns a LIST in DuckDB
+    # (the lateral-join form can't take correlated arguments)
+    return f"""
+    SELECT DISTINCT doc_id, unnest(
+        list_transform(generate_series(1, greatest(length(norm) - {SHINGLE_K - 1}, 1)),
+                       i -> substr(norm, i, {SHINGLE_K}))) AS shingle
+    FROM (SELECT doc_id, {_NORM} AS norm FROM documents) d
     """
-    return {}
+
+
+def _sql_minhash() -> str:
+    return f"""
+    WITH sh AS ({_sql_shingles()}),
+    seeds AS (SELECT unnest(generate_series(0, {NUM_HASHES - 1})) AS h)
+    SELECT doc_id, h, min(md5(h::VARCHAR || '|' || shingle)) AS minhash
+    FROM sh CROSS JOIN seeds
+    GROUP BY doc_id, h
+    """
+
+
+def _sql_bands() -> str:
+    return f"""
+    WITH mh AS ({_sql_minhash()})
+    SELECT doc_id, (h // {ROWS_PER_BAND})::BIGINT AS band,
+           md5(string_agg(minhash, ',' ORDER BY h)) AS band_sig
+    FROM mh GROUP BY doc_id, (h // {ROWS_PER_BAND})
+    """
+
+
+def _sql_lang_ratios() -> str:
+    parts = []
+    for lang, words in STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        parts.append(
+            f"len(list_filter(toks, x -> list_contains([{lst}], x)))::DOUBLE"
+            f" / greatest(len(toks), 1) AS r_{lang}"
+        )
+    return (
+        f"SELECT doc_id, {', '.join(parts)} "
+        f"FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents)"
+    )
+
+
+def _sql_simhash() -> str:
+    high = "('8','9','a','b','c','d','e','f')"
+    sums = ", ".join(
+        f"sum(CASE WHEN substr(th, {j + 1}, 1) IN {high} THEN 1 ELSE -1 END) AS b_{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN b_{j} > 0 THEN 1 ELSE 0 END)::BIGINT * {2 ** j}::BIGINT"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(list_distinct({_TOKENS})) AS tok FROM documents
+    ),
+    hashed AS (SELECT doc_id, md5(tok) AS th FROM toks),
+    votes AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, {combine} AS simhash FROM votes
+    """
+
+
+def _sql_psi_ks(nbins: int, stat: str) -> str:
+    width = (PRICE_HI - PRICE_LO) / nbins
+    binexpr = (
+        f"greatest(0, least({nbins - 1}, "
+        f"floor((l_extendedprice - {PRICE_LO}) / {width})))::BIGINT"
+    )
+    base = f"""
+    WITH e AS (SELECT {binexpr} AS bin FROM lineitem
+               WHERE l_returnflag = 'A' AND l_extendedprice IS NOT NULL),
+    a AS (SELECT {binexpr} AS bin FROM lineitem
+          WHERE l_returnflag = 'N' AND l_extendedprice IS NOT NULL),
+    eb AS (SELECT bin, count(*)::DOUBLE AS cnt FROM e GROUP BY bin),
+    ab AS (SELECT bin, count(*)::DOUBLE AS cnt FROM a GROUP BY bin),
+    bins AS (SELECT unnest(generate_series(0, {nbins - 1}))::BIGINT AS bin),
+    probs AS (
+        SELECT b.bin,
+               coalesce(eb.cnt, 0) / (SELECT sum(cnt) FROM eb) AS pe0,
+               coalesce(ab.cnt, 0) / (SELECT sum(cnt) FROM ab) AS pa0
+        FROM bins b LEFT JOIN eb ON b.bin = eb.bin LEFT JOIN ab ON b.bin = ab.bin)
+    """
+    if stat == "psi":
+        return (
+            base
+            + f"""
+    SELECT round(sum((greatest(pa0, {PSI_EPS}) - greatest(pe0, {PSI_EPS}))
+                 * ln(greatest(pa0, {PSI_EPS}) / greatest(pe0, {PSI_EPS}))), 6)::DECIMAL(18,6) AS psi
+    FROM probs
+    """
+        )
+    return (
+        base
+        + """
+    , cdf AS (SELECT bin,
+                     sum(pe0) OVER (ORDER BY bin) AS ce,
+                     sum(pa0) OVER (ORDER BY bin) AS ca
+              FROM probs)
+    SELECT round(max(abs(ce - ca)), 6)::DECIMAL(18,6) AS ks FROM cdf
+    """
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    all_stops = sorted({w for ws in STOPWORDS.values() for w in ws})
+    stops_lst = ", ".join(f"'{w}'" for w in all_stops)
+    lang_case = " ".join(
+        f"WHEN r_{lang} = best THEN '{lang}'" for lang in sorted(STOPWORDS)
+    )
+    return {
+        "validate_lineitem": """
+            SELECT l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR AS row_id,
+                   'l_quantity' AS field_key, 'validate.range' AS error_code,
+                   'Value must be in range 1 to 49 inclusive' AS message
+            FROM lineitem WHERE l_quantity IS NOT NULL AND l_quantity NOT BETWEEN 1 AND 49
+            UNION ALL
+            SELECT l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR,
+                   'l_returnflag', 'literal.invalid_value',
+                   'Value must be one of: ''A'', ''N'''
+            FROM lineitem WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A', 'N')
+        """,
+        "verdict_summary_lineitem": """
+            SELECT count(*)::BIGINT AS n_rows,
+                   sum(CASE WHEN (l_quantity IS NULL OR l_quantity BETWEEN 1 AND 49)
+                             AND (l_returnflag IS NULL OR l_returnflag IN ('A','N'))
+                            THEN 1 ELSE 0 END)::BIGINT AS n_passed,
+                   sum(CASE WHEN (l_quantity IS NOT NULL AND l_quantity NOT BETWEEN 1 AND 49)
+                             OR (l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N'))
+                            THEN 1 ELSE 0 END)::BIGINT AS n_failed
+            FROM lineitem
+        """,
+        "column_profile_lineitem": """
+            SELECT 'l_orderkey' AS column, min(l_orderkey)::VARCHAR AS min_value,
+                   max(l_orderkey)::VARCHAR AS max_value,
+                   (sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*)) AS null_rate,
+                   count(DISTINCT l_orderkey)::BIGINT AS distinct_count, count(*)::BIGINT AS row_count
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', min(l_quantity)::VARCHAR, max(l_quantity)::VARCHAR,
+                   (sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*)),
+                   count(DISTINCT l_quantity)::BIGINT, count(*)::BIGINT FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', min(l_extendedprice)::VARCHAR, max(l_extendedprice)::VARCHAR,
+                   (sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*)),
+                   count(DISTINCT l_extendedprice)::BIGINT, count(*)::BIGINT FROM lineitem
+            UNION ALL
+            SELECT 'l_returnflag', min(l_returnflag), max(l_returnflag),
+                   (sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*)),
+                   count(DISTINCT l_returnflag)::BIGINT, count(*)::BIGINT FROM lineitem
+        """,
+        "duplicate_o_custkey": """
+            SELECT o_custkey, count(*)::BIGINT AS dup_count
+            FROM orders GROUP BY o_custkey HAVING count(*) > 1
+        """,
+        "referential_lineitem_orders": """
+            SELECT l.l_orderkey::VARCHAR || '_' || l.l_linenumber::VARCHAR AS row_id,
+                   l.l_orderkey
+            FROM lineitem l
+            WHERE l.l_orderkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey AND o.o_orderkey % 7 <> 0)
+        """,
+        "histogram_extendedprice": f"""
+            SELECT greatest(0, least({PSI_BINS - 1},
+                     floor((l_extendedprice - {PRICE_LO}) / {(PRICE_HI - PRICE_LO) / PSI_BINS})))::BIGINT AS bin,
+                   count(*)::BIGINT AS cnt
+            FROM lineitem WHERE l_extendedprice IS NOT NULL
+            GROUP BY 1
+        """,
+        "psi_extendedprice": _sql_psi_ks(PSI_BINS, "psi"),
+        "ks_extendedprice": _sql_psi_ks(KS_BINS, "ks"),
+        "exact_dup_documents": f"""
+            WITH doubled AS (SELECT * FROM documents UNION ALL SELECT * FROM documents),
+            hashed AS (SELECT doc_id, md5({_NORM}) AS content_hash FROM doubled),
+            groups AS (SELECT content_hash, count(*)::BIGINT AS group_size
+                       FROM hashed GROUP BY content_hash HAVING count(*) > 1)
+            SELECT DISTINCT h.doc_id, h.content_hash, g.group_size
+            FROM hashed h JOIN groups g USING (content_hash)
+        """,
+        "minhash_bands_documents": _sql_bands(),
+        "lsh_candidates_documents": f"""
+            WITH bands AS ({_sql_bands()})
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+            WHERE a.doc_id < b.doc_id
+        """,
+        "jaccard_pairs_documents": f"""
+            WITH toks AS (SELECT doc_id, list_distinct(string_split({_NORM}, ' ')) AS t
+                          FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.t, b.t))::DOUBLE
+                         / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))), 6)::DECIMAL(18,6) AS jaccard
+            FROM toks a, toks b
+            WHERE a.doc_id < b.doc_id
+              AND len(list_intersect(a.t, b.t))::DOUBLE
+                  / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= {JACCARD_THRESHOLD}
+        """,
+        "token_count_documents": f"""
+            SELECT doc_id, len({_TOKENS})::BIGINT AS n_tokens,
+                   length(text)::BIGINT AS n_chars
+            FROM documents
+        """,
+        "language_id_documents": f"""
+            WITH r AS ({_sql_lang_ratios()}),
+            m AS (SELECT doc_id, r_de, r_en, r_es, r_fr,
+                         greatest(r_de, r_en, r_es, r_fr) AS best FROM r)
+            SELECT doc_id,
+                   CASE WHEN best <= 0 THEN 'und' {lang_case} ELSE 'und' END AS lang_pred
+            FROM m
+        """,
+        "quality_documents": f"""
+            WITH base AS (
+                SELECT doc_id,
+                       least(length(text)::DOUBLE / 500.0, 1.0) AS len_score,
+                       length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                           / greatest(length(text), 1) AS punct_ratio,
+                       len(list_filter({_TOKENS}, x -> list_contains([{stops_lst}], x)))::DOUBLE
+                           / greatest(len({_TOKENS}), 1) AS stop_ratio
+                FROM documents)
+            SELECT doc_id,
+                   round(len_score, 6)::DECIMAL(18,6) AS len_score,
+                   round(punct_ratio, 6)::DECIMAL(18,6) AS punct_ratio,
+                   round(stop_ratio, 6)::DECIMAL(18,6) AS stop_ratio,
+                   round(0.4 * len_score + 0.3 * (1.0 - least(punct_ratio * 5, 1.0))
+                         + 0.3 * least(stop_ratio * 4, 1.0), 6)::DECIMAL(18,6) AS quality
+            FROM base
+        """,
+        "fingerprint_documents": f"""
+            WITH sh AS ({_sql_shingles()}),
+            hashed AS (SELECT DISTINCT doc_id, md5(shingle) AS sh FROM sh),
+            ranked AS (SELECT doc_id, sh,
+                              row_number() OVER (PARTITION BY doc_id ORDER BY sh) AS rk
+                       FROM hashed)
+            SELECT doc_id, md5(string_agg(sh, ',' ORDER BY sh)) AS fingerprint
+            FROM ranked WHERE rk <= {FINGERPRINT_K} GROUP BY doc_id
+        """,
+        "simhash_documents": _sql_simhash(),
+        "knn_bruteforce": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < {KNN_QUERIES}),
+            s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                         list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cos
+                  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+            r AS (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, neighbor_id ASC) AS rk
+                  FROM s)
+            SELECT query_id, neighbor_id, rk::BIGINT AS "rank" FROM r WHERE rk <= {KNN_K}
+        """,
+        "events_hourly_counts": """
+            SELECT date_trunc('hour', ts) AS hour_start, event_type,
+                   count(*)::BIGINT AS cnt
+            FROM events GROUP BY 1, 2
+        """,
+    }

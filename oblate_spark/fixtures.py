@@ -82,23 +82,33 @@ def _pixels_for(i: int, w: int, h: int) -> np.ndarray:
     return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
 
 
+#: image edge-length range; tests use the small default, the benchmark
+#: passes a realistic range (real image corpora are 10-100x our pytest
+#: thumbnails; per-row compute must dominate per-row overhead for the
+#: throughput numbers to mean anything at cluster scale)
+DEFAULT_PX = (16, 64)
+
+
 _HOT_INDEX = -1  # sentinel index for the hot bucket's shared image
 
 
-def make_row(i: int) -> dict:
-    """One deterministic row; pure function of the index."""
+def make_row(i: int, px: tuple[int, int] = DEFAULT_PX) -> dict:
+    """One deterministic row; pure function of the index (and the size
+    range, which must match between generation and golden manifest)."""
     from .functions.codecs import encode_image, phash64
 
     rng = np.random.default_rng(SEED * 7_000_003 + i)
     defect = defect_for_index(i)
+    lo_px, hi_px = px
+    fixed_px = max(32, lo_px)
 
     fmt = FORMATS[0] if (i % 10) < 5 else (FORMATS[1] if (i % 10) < 8 else FORMATS[2])
-    w = int(rng.integers(16, 64))
-    h = int(rng.integers(16, 64))
+    w = int(rng.integers(lo_px, hi_px))
+    h = int(rng.integers(lo_px, hi_px))
 
     pixel_index = _HOT_INDEX if defect == "hot_phash" else i
     if defect == "hot_phash":
-        w = h = 32  # shared content must share dims
+        w = h = fixed_px  # shared content must share dims
     pixels = _pixels_for(pixel_index, w, h)
     data = encode_image(pixels, fmt)
     ph = phash64(pixels)
@@ -118,7 +128,7 @@ def make_row(i: int) -> dict:
         # near-duplicates beyond the hot bucket)
         s = i % 1000
         pair_base = (i // 1000) * 1000 + 15 + 2 * ((s - 15) // 2)
-        w = h = 32
+        w = h = fixed_px
         pixels = _pixels_for(pair_base, w, h)
         data = encode_image(pixels, fmt)
         ph = phash64(pixels)
@@ -154,7 +164,8 @@ def make_row(i: int) -> dict:
 
 
 def build_images_df(
-    spark: SparkSession, n_rows: int, *, partitions: int | None = None
+    spark: SparkSession, n_rows: int, *, partitions: int | None = None,
+    px: tuple[int, int] = DEFAULT_PX,
 ) -> DataFrame:
     """Distributed deterministic generation: spark.range -> mapInPandas.
 
@@ -168,16 +179,17 @@ def build_images_df(
 
     def gen(iterator):
         for pdf in iterator:
-            rows = [make_row(int(i)) for i in pdf["id"]]
+            rows = [make_row(int(i), px) for i in pdf["id"]]
             yield pd.DataFrame(rows)
 
     return spark.range(0, n_rows, numPartitions=partitions).mapInPandas(gen, IMAGES_SCHEMA)
 
 
 def write_images_table(
-    spark: SparkSession, n_rows: int, path: str, *, partitions: int | None = None
+    spark: SparkSession, n_rows: int, path: str, *, partitions: int | None = None,
+    px: tuple[int, int] = DEFAULT_PX,
 ) -> str:
-    df = build_images_df(spark, n_rows, partitions=partitions)
+    df = build_images_df(spark, n_rows, partitions=partitions, px=px)
     df.write.mode("overwrite").parquet(path)
     return path
 

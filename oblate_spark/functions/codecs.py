@@ -275,22 +275,25 @@ _DCT32 = _dct_matrix(32)
 
 def _resize_area(gray: np.ndarray, size: int = 32) -> np.ndarray:
     """Area-average resize to size x size (exact for integer factors,
-    index-sampled otherwise — deterministic either way)."""
+    integral-image box sums otherwise — deterministic either way).
+    Fully vectorized: the box-sum is evaluated for all size² cells with
+    one fancy-indexing expression (the scalar double loop was the
+    original hotspot of the whole validation pipeline)."""
     h, w = gray.shape
     ys = (np.arange(size + 1) * h // size).astype(np.int64)
     xs = (np.arange(size + 1) * w // size).astype(np.int64)
-    out = np.empty((size, size), dtype=np.float64)
+    y0, y1 = ys[:-1], np.maximum(ys[1:], ys[:-1] + 1)
+    x0, x1 = xs[:-1], np.maximum(xs[1:], xs[:-1] + 1)
     csum = np.zeros((h + 1, w + 1), dtype=np.float64)
-    csum[1:, 1:] = np.cumsum(np.cumsum(gray, axis=0), axis=1)
-    for i in range(size):
-        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
-        for j in range(size):
-            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
-            area = (y1 - y0) * (x1 - x0)
-            out[i, j] = (
-                csum[y1, x1] - csum[y0, x1] - csum[y1, x0] + csum[y0, x0]
-            ) / area
-    return out
+    np.cumsum(np.cumsum(gray, axis=0, dtype=np.float64), axis=1, out=csum[1:, 1:])
+    box = (
+        csum[np.ix_(y1, x1)]
+        - csum[np.ix_(y0, x1)]
+        - csum[np.ix_(y1, x0)]
+        + csum[np.ix_(y0, x0)]
+    )
+    area = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    return box / area
 
 
 def phash64(pixels: np.ndarray) -> int:

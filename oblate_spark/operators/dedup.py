@@ -179,30 +179,34 @@ def ngram_jaccard_pairs(
 
 
 def simhash(df: DataFrame, *, id_col: str, text_col: str, bits: int = 48) -> DataFrame:
-    """(id, simhash) — per-token md5-derived hashes, bitwise weighted
-    vote, sign -> bit. ``bits``<=60 so the hash fits a BIGINT built from
-    the first 15 hex chars of md5 (conv base16 -> base10).
+    """(id, simhash) — per-token hash bits sampled from md5 hex nibbles
+    (bit j = high bit of hex digit j, i.e. digit in 8..f), bitwise
+    weighted vote, sign -> bit. ``bits``<=32 hex chars; the signature
+    fits a BIGINT for bits<=62.
 
-    Near-duplicates differ in few bits; group or sort by simhash
-    prefixes to bucket them. Pure expressions: explode tokens -> one
-    groupBy(id) with ``bits`` conditional sums.
+    The nibble-sampling construction is engine-portable (any SQL engine
+    with md5+substr reproduces it bit-for-bit), equivalent in quality to
+    sampling bits of the binary digest. Near-duplicates differ in few
+    bits; bucket by signature prefix to find them. Pure expressions:
+    explode tokens -> one groupBy(id) with ``bits`` conditional sums.
     """
     toks = df.select(
         F.col(id_col), F.explode(_token_set(F.col(text_col))).alias("tok")
-    )
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint")
-    toks = toks.select(id_col, h.alias("th"))
+    ).select(F.col(id_col), F.md5(F.col("tok")).alias("th"))
+    high = list("89abcdef")
     aggs = [
         F.sum(
-            (F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+            F.when(F.substring(F.col("th"), j + 1, 1).isin(high), 1).otherwise(-1)
         ).alias(f"b_{j}")
         for j in range(bits)
     ]
     wide = toks.groupBy(id_col).agg(*aggs)
     sig = None
     for j in range(bits):
-        bit = F.when(F.col(f"b_{j}") > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        term = bit * F.lit(2 ** j).cast("bigint")
+        bit = F.when(F.col(f"b_{j}") > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        term = bit * F.lit(2**j).cast("bigint")
         sig = term if sig is None else sig + term
     return wide.select(F.col(id_col), sig.alias("simhash"))
 

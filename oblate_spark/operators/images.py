@@ -30,10 +30,13 @@ from ..errors import ErrorCode
 
 __all__ = ["image_payload_report", "image_payload_violations", "IMAGE_REPORT_SCHEMA"]
 
+#: declared metadata keeps its ORIGINAL column names so the generic
+#: row-level Schema plan can run directly on the report; the kernel adds
+#: the decode outcome + actual-vs-declared columns.
 IMAGE_REPORT_SCHEMA = (
-    "image_id string, decode_ok boolean, decode_err string, "
-    "w_actual int, h_actual int, fmt_actual string, phash_actual bigint, "
-    "w_declared int, h_declared int, fmt_declared string, phash_declared bigint"
+    "image_id string, w int, h int, fmt string, caption string, phash bigint, "
+    "decode_ok boolean, decode_err string, "
+    "w_actual int, h_actual int, fmt_actual string, phash_actual bigint"
 )
 
 
@@ -46,9 +49,18 @@ def image_payload_report(
     h_col: str = "h",
     fmt_col: str = "fmt",
     phash_col: str = "phash",
+    caption_col: str = "caption",
     compute_phash: bool = True,
 ) -> DataFrame:
     """Decode every payload once, emit the actual-vs-declared report.
+
+    The report is the compact product of the ONLY pass that reads the
+    binary column: declared metadata (original names, passed through)
+    plus decode outcome and actuals. Downstream row-level schema checks,
+    payload-consistency checks and uniqueness aggregations all consume
+    the report — never the bytes — so materializing the report (cache
+    locally, checkpoint table at cluster scale) makes the whole
+    validation suite a single heavy scan plus cheap metadata plans.
 
     ``compute_phash=False`` skips the DCT (the expensive part) for runs
     that only need decode/dimension checks.
@@ -57,23 +69,24 @@ def image_payload_report(
 
     from ..functions.codecs import ImageDecodeError, decode_image, detect_format, phash64
 
-    cols = [id_col, bytes_col, w_col, h_col, fmt_col, phash_col]
+    cols = [id_col, bytes_col, w_col, h_col, fmt_col, phash_col, caption_col]
 
     def kernel(iterator):
         for pdf in iterator:
             n = len(pdf)
             out = {
                 "image_id": pdf[id_col].astype(str),
+                "w": pdf[w_col],
+                "h": pdf[h_col],
+                "fmt": pdf[fmt_col],
+                "caption": pdf[caption_col],
+                "phash": pdf[phash_col],
                 "decode_ok": [False] * n,
                 "decode_err": [None] * n,
                 "w_actual": [None] * n,
                 "h_actual": [None] * n,
                 "fmt_actual": [None] * n,
                 "phash_actual": [None] * n,
-                "w_declared": pdf[w_col],
-                "h_declared": pdf[h_col],
-                "fmt_declared": pdf[fmt_col],
-                "phash_declared": pdf[phash_col],
             }
             for i, blob in enumerate(pdf[bytes_col]):
                 if blob is None:
@@ -117,14 +130,11 @@ def image_payload_violations(
     r = report
     decode_failed = ~F.col("decode_ok")
     dims_mismatch = F.col("decode_ok") & (
-        (F.col("w_declared") != F.col("w_actual")) | (F.col("h_declared") != F.col("h_actual"))
+        (F.col("w") != F.col("w_actual")) | (F.col("h") != F.col("h_actual"))
     )
-    fmt_mismatch = F.col("decode_ok") & (F.col("fmt_declared") != F.col("fmt_actual"))
+    fmt_mismatch = F.col("decode_ok") & (F.col("fmt") != F.col("fmt_actual"))
     phash_mismatch = F.col("decode_ok") & (
-        F.bit_count(
-            F.col("phash_declared").bitwiseXOR(F.col("phash_actual"))
-        )
-        > phash_tolerance
+        F.bit_count(F.col("phash").bitwiseXOR(F.col("phash_actual"))) > phash_tolerance
     )
 
     check_ddl = "struct<field_key:string,error_code:string,message:string,value_repr:string>"
@@ -154,9 +164,9 @@ def image_payload_violations(
                 ErrorCode.IMAGE_DIMS_MISMATCH,
                 F.concat(
                     F.lit("Declared dimensions "),
-                    F.col("w_declared").cast("string"),
+                    F.col("w").cast("string"),
                     F.lit("x"),
-                    F.col("h_declared").cast("string"),
+                    F.col("h").cast("string"),
                     F.lit(" do not match encoded "),
                     F.col("w_actual").cast("string"),
                     F.lit("x"),
@@ -169,7 +179,7 @@ def image_payload_violations(
                 ErrorCode.IMAGE_FMT_MISMATCH,
                 F.concat(
                     F.lit("Declared format '"),
-                    F.col("fmt_declared"),
+                    F.col("fmt"),
                     F.lit("' does not match encoded '"),
                     F.coalesce(F.col("fmt_actual"), F.lit("?")),
                     F.lit("'"),
@@ -181,7 +191,7 @@ def image_payload_violations(
                 ErrorCode.IMAGE_PHASH_MISMATCH,
                 F.concat(
                     F.lit("Stored phash "),
-                    F.col("phash_declared").cast("string"),
+                    F.col("phash").cast("string"),
                     F.lit(" does not match recomputed "),
                     F.col("phash_actual").cast("string"),
                 ),
@@ -207,23 +217,35 @@ def image_payload_violations(
     )
 
 
-def image_schema():
+def image_schema(include_bytes: bool = False):
     """The row-level Schema for the input_hint image table — the
     reference-semantics checks (Literal/Range/Length/none) that compose
-    with the payload kernel and the table-level uniqueness checks."""
+    with the payload kernel and the table-level uniqueness checks.
+
+    ``include_bytes=False`` (the composite-pipeline default) leaves the
+    binary column out of the row-level plan so Catalyst prunes it from
+    this scan entirely — the payload kernel is then the ONLY reader of
+    the dominant-I/O column (a NULL payload surfaces there as
+    ``image.decode_failed: payload is NULL``). Scanning bytes once
+    instead of four times is the difference between scaling and
+    thrashing at 100 TB (and measurably on local[32])."""
     from .. import fields
     from .. import validate as V
     from ..schema import Schema
 
     class ImageRow(Schema):
         image_id = fields.String()
-        bytes = fields.Binary()
         w = fields.Integer(validators=[V.Range(1, 4096)])
         h = fields.Integer(validators=[V.Range(1, 4096)])
         fmt = fields.Literal("bmp", "png", "ppm")
         caption = fields.String(validators=[V.Length(max=120)])
         phash = fields.Integer()
 
+    if include_bytes:
+        class ImageRowWithBytes(ImageRow):
+            bytes = fields.Binary()
+
+        return ImageRowWithBytes
     return ImageRow
 
 
@@ -233,29 +255,54 @@ def validate_image_table(
     phash_tolerance: int = 0,
     check_payload: bool = True,
     check_unique: bool = True,
+    materialize: str = "cache",
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """Full north-rule validation of an image+caption table: row-level
     schema checks + payload kernel + salted uniqueness on image_id and
     phash. Returns one unified violations DataFrame.
 
-    Each component is a separate Catalyst plan unioned at the end;
-    Spark schedules them as independent stages over the same scan
-    (the parquet footer/cache makes the second scan cheap; at cluster
-    scale, persist the source or use a single-pass observe variant).
+    Architecture (the 100 TB invariant): ONE heavy pass. The payload
+    kernel is the only consumer of the multi-KB ``bytes`` column; it
+    emits a compact metadata report (~150 B/row) that is materialized
+    (``cache`` locally; ``checkpoint`` = parquet table on a cluster,
+    doubling as the resume point) and every constraint branch — schema
+    checks, payload consistency, uniqueness — runs over the report.
+    Without materialization each union branch would re-execute the
+    kernel; with separate scans the Arrow serialization of the binaries
+    dominated the job (measured: 4 scans made local[32] slower than
+    local[8]).
     """
     from .stats import uniqueness_violations
 
-    schema = image_schema()
-    res = schema.validate(df, row_id="image_id", extra_columns_ok=("image_id",))
+    if check_payload:
+        report = image_payload_report(df)
+        if materialize == "checkpoint":
+            if checkpoint_dir is None:
+                raise ValueError("materialize='checkpoint' requires checkpoint_dir")
+            report.write.mode("overwrite").parquet(checkpoint_dir)
+            report = df.sparkSession.read.parquet(checkpoint_dir)
+        elif materialize == "cache":
+            report = report.cache()
+        base = report
+    else:
+        base = df.drop("bytes")
+
+    schema = image_schema(include_bytes=False)
+    extra_ok = (
+        "image_id", "decode_ok", "decode_err",
+        "w_actual", "h_actual", "fmt_actual", "phash_actual",
+    )
+    res = schema.validate(base, row_id="image_id", extra_columns_ok=extra_ok)
     parts = [res.violations]
 
     if check_payload:
-        report = image_payload_report(df)
         parts.append(image_payload_violations(report, phash_tolerance=phash_tolerance))
 
     if check_unique:
-        uid = uniqueness_violations(df, "image_id", row_id="image_id").drop("dup_count")
-        uph = uniqueness_violations(df, "phash", row_id="image_id").drop("dup_count")
+        slim = base.select("image_id", "phash")
+        uid = uniqueness_violations(slim, "image_id", row_id="image_id").drop("dup_count")
+        uph = uniqueness_violations(slim, "phash", row_id="image_id").drop("dup_count")
         pid = F.lit(-1).alias("partition_id")  # table-level checks have no source partition
         parts.append(uid.withColumn("value_repr", F.lit(None).cast("string")).select(
             "row_id", "field_key", "error_code", "message", "value_repr", pid))
@@ -266,3 +313,88 @@ def validate_image_table(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def image_payload_report_from_files(
+    spark,
+    path: str,
+    *,
+    compute_phash: bool = True,
+) -> DataFrame:
+    """File-driven payload kernel: distribute parquet *file names*, read
+    each file with pyarrow inside the Python worker, decode, emit the
+    compact report.
+
+    This is the zero-copy-ish pattern large image pipelines use
+    (Petastorm-style direct reads): the multi-KB ``bytes`` cells never
+    cross the JVM->Python socket — the JVM only ships file paths out and
+    ~150 B/row of report back. On the sandbox this removes the
+    row->Arrow serialization that capped the DataFrame-driven kernel at
+    ~400 MB/s regardless of core count. Requires the table to be a plain
+    parquet directory (the DataFrame-driven ``image_payload_report``
+    stays the composable default).
+    """
+    import glob as _glob
+    import os as _os
+
+    import pandas as pd
+
+    files = sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+    if not files:
+        raise ValueError(f"no parquet files under {path!r}")
+
+    def kernel(iterator):
+        import pyarrow.parquet as pq
+
+        from ..functions.codecs import (
+            ImageDecodeError,
+            decode_image,
+            detect_format,
+            phash64,
+        )
+
+        for pdf in iterator:
+            for fname in pdf["file"]:
+                tbl = pq.read_table(fname)
+                cols = {
+                    "image_id": tbl.column("image_id").to_pylist(),
+                    "w": tbl.column("w").to_pylist(),
+                    "h": tbl.column("h").to_pylist(),
+                    "fmt": tbl.column("fmt").to_pylist(),
+                    "caption": tbl.column("caption").to_pylist(),
+                    "phash": tbl.column("phash").to_pylist(),
+                }
+                blobs = tbl.column("bytes").to_pylist()
+                n = len(blobs)
+                out = dict(cols)
+                out["decode_ok"] = [False] * n
+                out["decode_err"] = [None] * n
+                out["w_actual"] = [None] * n
+                out["h_actual"] = [None] * n
+                out["fmt_actual"] = [None] * n
+                out["phash_actual"] = [None] * n
+                for i, blob in enumerate(blobs):
+                    if blob is None:
+                        out["decode_err"][i] = "payload is NULL"
+                        continue
+                    try:
+                        pixels = decode_image(blob)
+                    except ImageDecodeError as e:
+                        out["decode_err"][i] = str(e)
+                        continue
+                    out["decode_ok"][i] = True
+                    out["h_actual"][i] = int(pixels.shape[0])
+                    out["w_actual"][i] = int(pixels.shape[1])
+                    out["fmt_actual"][i] = detect_format(blob)
+                    if compute_phash:
+                        out["phash_actual"][i] = phash64(pixels)
+                out["phash"] = pd.array(out["phash"], dtype="Int64")
+                out["phash_actual"] = pd.array(out["phash_actual"], dtype="Int64")
+                out["w_actual"] = pd.array(out["w_actual"], dtype="Int32")
+                out["h_actual"] = pd.array(out["h_actual"], dtype="Int32")
+                out["w"] = pd.array(out["w"], dtype="Int32")
+                out["h"] = pd.array(out["h"], dtype="Int32")
+                yield pd.DataFrame(out)
+
+    fdf = spark.createDataFrame([(f,) for f in files], "file string").repartition(len(files))
+    return fdf.mapInPandas(kernel, IMAGE_REPORT_SCHEMA)

@@ -9,12 +9,11 @@ Scale notes (designed for ~100 TB / 1000 executors, tested at sf0.1):
 * ``column_profile`` — ONE pass over the table, all columns aggregated
   map-side-combinably; no shuffle beyond the final single-row agg.
   approx_count_distinct = HyperLogLog++ (constant memory per column).
-* ``duplicate_keys`` — two-phase salted aggregation: phase 1 groups on
-  (key, salt) so a pathological hot key (e.g. a phash shared by 5% of
-  all rows — FIXTURES.md F1) spreads over ``salt_buckets`` reducers;
-  phase 2 sums the partial counts per key. With AQE on, Spark also
-  splits skewed partitions; salting makes worst-case keys safe even
-  without AQE.
+* ``duplicate_keys`` — one count-aggregation; map-side partial agg makes
+  it skew-safe (a hot key, e.g. the phash shared by 5% of rows in
+  FIXTURES.md F1, contributes one partial row per mapper). Optional
+  two-phase salting for non-combinable variants; AQE skew-split covers
+  the join-back.
 * ``referential_violations`` — LEFT ANTI join against the *distinct
   projection* of the parent key (column pruning: only the key column is
   scanned on the parent). ``broadcast=True`` forces a broadcast of the
@@ -86,19 +85,28 @@ def duplicate_keys(
     df: DataFrame,
     key_cols: Sequence[str] | str,
     *,
-    salt_buckets: int = 64,
+    salt_buckets: Optional[int] = None,
 ) -> DataFrame:
     """Keys appearing more than once: (key..., dup_count).
 
-    Two-phase salted aggregation (SURVEY.md §2.7 "uniqueness"): phase 1
-    counts per (key, salt) where salt is derived from the partition id
-    (deterministic, no rand()); phase 2 sums partials per key. For a
-    uniform table this costs the same as a plain groupBy (count already
-    map-side combines); for a hot key it bounds any single reducer's
-    input to ~1/salt_buckets of that key's rows.
+    Skew analysis: COUNT is algebraic, so Spark's map-side partial
+    aggregation already bounds a hot key's shuffle volume to one partial
+    row per mapper — a plain groupBy is skew-safe here and one stage
+    cheaper than an explicit two-phase salt. ``salt_buckets`` remains
+    for the general pattern (SURVEY.md §2.7): set it when replacing the
+    count with a NON-combinable aggregate (collect_list/set, exact
+    distinct structs), where a hot key would otherwise funnel all its
+    rows into one reducer; phase 1 then groups on (key, salt) with a
+    deterministic partition-derived salt and phase 2 merges partials.
     """
     if isinstance(key_cols, str):
         key_cols = [key_cols]
+    if not salt_buckets:
+        return (
+            df.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("dup_count"))
+            .filter(F.col("dup_count") > 1)
+        )
     keys = [F.col(c) for c in key_cols]
     salt = F.pmod(F.spark_partition_id(), F.lit(salt_buckets)).alias("__salt")
     partial = (
@@ -118,7 +126,7 @@ def uniqueness_violations(
     key_cols: Sequence[str] | str,
     *,
     row_id: str,
-    salt_buckets: int = 64,
+    salt_buckets: Optional[int] = None,
 ) -> DataFrame:
     """Row-lineage form: every row whose key is duplicated, as violation
     rows (row_id, field_key, error_code, message, dup_count).

@@ -45,9 +45,20 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
-        .config("spark.driver.memory", os.environ.get("OBLATE_SPARK_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("OBLATE_SPARK_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+        # JVM tuning for the Arrow-exchange allocation pattern of
+        # binary-heavy mapInPandas, measured on local[8..32]:
+        # - ParallelGC: default G1 stalls erratically (humongous batch
+        #   buffers + all cores busy -> concurrent-cycle thrash)
+        # - Xms=Xmx + AlwaysPreTouch: without it the heap grows lazily
+        #   and young GCs absorb multi-second page-zeroing stalls
+        #   (observed 3-4.3 s young pauses on a virtualized host)
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Djava.net.preferIPv4Stack=true -XX:+UseParallelGC "
+            f"-Xms{os.environ.get('OBLATE_SPARK_DRIVER_MEM', '12g')} -XX:+AlwaysPreTouch",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
