@@ -1,0 +1,118 @@
+"""Resumable validation runs with per-partition lineage + metrics.
+
+North-rule requirement: "resumable from checkpoint with per-partition
+lineage and metrics". A run over a huge table is split into file groups;
+each completed group's violations land in their own output directory and
+the group is recorded — with its metrics — in a JSON run-manifest that is
+published atomically after the group commits. A re-run (same run_dir)
+skips completed groups, so a crashed 10^12-row job resumes at the first
+unfinished group instead of restarting.
+
+With an Iceberg runtime the same contract maps onto snapshot ids per
+validated partition set (SURVEY.md §2.7 "Checkpoint/resume"); the JSON
+manifest is the jar-free stand-in with identical behavior.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = ["ResumableRun", "resumable_validate_images"]
+
+
+class ResumableRun:
+    """Generic chunked, resumable execution over parquet file groups."""
+
+    def __init__(self, spark: SparkSession, source_path: str, run_dir: str, *, group_size: int = 8) -> None:
+        self.spark = spark
+        self.source_path = source_path
+        self.run_dir = run_dir
+        self.group_size = group_size
+        os.makedirs(run_dir, exist_ok=True)
+        files = sorted(glob.glob(os.path.join(source_path, "*.parquet")))
+        if not files:
+            raise ValueError(f"no parquet files under {source_path!r}")
+        self.groups = [files[i : i + group_size] for i in range(0, len(files), group_size)]
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.run_dir, "run_manifest.json")
+
+    def manifest(self) -> dict:
+        p = self._manifest_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {"source": self.source_path, "groups": {}}
+
+    def _publish(self, manifest: dict) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.replace(tmp, self._manifest_path())
+
+    def completed_groups(self) -> set[int]:
+        return {int(k) for k, v in self.manifest()["groups"].items() if v.get("done")}
+
+    def run(
+        self,
+        job: Callable[[DataFrame], DataFrame],
+        *,
+        metrics: Optional[Callable[[DataFrame, DataFrame], dict]] = None,
+    ) -> dict:
+        """Execute ``job(group_df) -> output_df`` per incomplete group,
+        writing output under ``group-<k>/`` and recording lineage
+        (file list) + metrics per group. Returns the final manifest."""
+        done = self.completed_groups()
+        manifest = self.manifest()
+        for k, files in enumerate(self.groups):
+            if k in done:
+                continue
+            gdf = self.spark.read.parquet(*files)
+            out = job(gdf)
+            out_dir = os.path.join(self.run_dir, f"group-{k:05d}")
+            out.write.mode("overwrite").parquet(out_dir)
+            entry = {
+                "done": True,
+                "files": files,  # per-partition lineage
+                "output": out_dir,
+            }
+            if metrics is not None:
+                written = self.spark.read.parquet(out_dir)
+                entry["metrics"] = metrics(gdf, written)
+            manifest["groups"][str(k)] = entry
+            self._publish(manifest)  # atomic per-group commit
+        return self.manifest()
+
+    def output(self) -> DataFrame:
+        dirs = [v["output"] for v in self.manifest()["groups"].values() if v.get("done")]
+        return self.spark.read.parquet(*dirs)
+
+
+def resumable_validate_images(
+    spark: SparkSession, source_path: str, run_dir: str, *, group_size: int = 8
+) -> dict:
+    """Checkpointed full image-table validation: violations per group +
+    per-group rows/violations metrics in the run manifest."""
+    from .operators.images import validate_image_table
+
+    run = ResumableRun(spark, source_path, run_dir, group_size=group_size)
+
+    def job(gdf: DataFrame) -> DataFrame:
+        return validate_image_table(gdf)
+
+    def metrics(gdf: DataFrame, out: DataFrame) -> dict:
+        return {
+            "rows": gdf.count(),
+            "violations": out.count(),
+            "by_code": {
+                r["error_code"]: r["cnt"]
+                for r in out.groupBy("error_code").agg(F.count(F.lit(1)).alias("cnt")).collect()
+            },
+        }
+
+    return run.run(job, metrics=metrics)

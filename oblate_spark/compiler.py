@@ -309,12 +309,17 @@ def compile_plan(
     *,
     mode: str = "typed",
     extra_columns_ok: tuple[str, ...] = ("row_id",),
+    is_update: bool = False,
 ) -> CompiledPlan:
     """Compile ``schema_cls`` against ``df``.
 
     mode='typed': columns carry native Spark types (hot path).
     mode='staged': plan columns are JSON-encoded strings (semi-structured
     ingest; full strict/non-strict reference cast semantics).
+    is_update: update-mode semantics — an absent column means "leave the
+    stored value unchanged", so no required error / default fill fires
+    (reference oblate/schema.py:385-436 validates only provided keys;
+    LoadContext.is_update() parity).
     """
     staged = mode == "staged"
     plan = CompiledPlan(schema_cls=schema_cls, mode=mode)
@@ -327,6 +332,8 @@ def compile_plan(
     for fld in schema_cls.__fields__.values():
         key = fld.load_key
         if key not in columns:
+            if is_update:
+                continue  # absent column == field not being updated
             # column entirely absent == reference "missing key" path
             # (oblate/schema.py:198-207): required error or default fill
             if fld.default is not MISSING:

@@ -166,8 +166,13 @@ def validate(
     row_id: Optional[str] = None,
     extra_columns_ok: tuple[str, ...] = ("row_id",),
     ignore_extra: Optional[bool] = None,
+    is_update: bool = False,
 ) -> ValidationResult:
-    """Compile and apply ``schema_cls``'s plan to ``df``."""
+    """Compile and apply ``schema_cls``'s plan to ``df``.
+
+    ``is_update=True`` validates a change-set: absent columns mean
+    "unchanged", so required/default semantics for them are skipped
+    (reference Schema.update parity, oblate/schema.py:385-436)."""
     if ignore_extra is not None:
         import copy
 
@@ -175,7 +180,9 @@ def validate(
         cfg.ignore_extra = ignore_extra
         schema_cls = type(schema_cls.__name__, (schema_cls,), {"__config__": cfg})
 
-    plan = compile_plan(schema_cls, df, mode=mode, extra_columns_ok=extra_columns_ok)
+    plan = compile_plan(
+        schema_cls, df, mode=mode, extra_columns_ok=extra_columns_ok, is_update=is_update
+    )
     violations_col = plan.violations_column()
     annotated = df.withColumns(
         {

@@ -117,6 +117,13 @@ class Schema(metaclass=SchemaMeta):
     __config__: SchemaConfig = SchemaConfig()
 
     @classmethod
+    def preprocess_data(cls, df: DataFrame) -> DataFrame:
+        """User hook: rewrite the raw frame before any validation —
+        parity with the reference's ``preprocess_data``
+        (oblate/schema.py:171-174,295-317). Default: identity."""
+        return df
+
+    @classmethod
     def validate(
         cls,
         df: DataFrame,
@@ -129,7 +136,7 @@ class Schema(metaclass=SchemaMeta):
         from .engine import validate as _validate
 
         return _validate(
-            df,
+            cls.preprocess_data(df),
             cls,
             mode=mode,
             row_id=row_id,

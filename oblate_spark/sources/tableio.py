@@ -1,0 +1,146 @@
+"""Snapshot-table abstraction: Iceberg semantics over plain parquet.
+
+The sandbox has no Iceberg runtime jar, so this module implements the
+subset of snapshot semantics the engine relies on — atomic commit,
+time-travel reads, rollback — as parquet directories plus a JSON
+manifest, with the same API an Iceberg-backed implementation would
+expose (swap-in is a config change, not a code change; SURVEY.md §7.3).
+
+Commit protocol (write-audit-publish):
+
+1. data is written to a NEW snapshot directory (``snap-<id>/``)
+2. the manifest is rewritten to a temp file and atomically renamed
+
+A reader only ever sees the manifest before or after the rename, so a
+failed job leaves the current snapshot untouched — this is what gives
+``engine.update`` its all-or-nothing rollback (reference parity:
+Schema.update restores old values on any error, oblate/schema.py:433-436).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["SnapshotTable", "SnapshotInfo"]
+
+
+@dataclass
+class SnapshotInfo:
+    snapshot_id: int
+    parent_id: Optional[int]
+    operation: str
+    properties: dict = field(default_factory=dict)
+
+
+class SnapshotTable:
+    """A versioned parquet table with atomic snapshot commits."""
+
+    MANIFEST = "manifest.json"
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    # -- manifest -----------------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, self.MANIFEST)
+
+    def _read_manifest(self) -> dict:
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return {"current": None, "snapshots": []}
+        with open(p) as f:
+            return json.load(f)
+
+    def _publish_manifest(self, manifest: dict) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.replace(tmp, self._manifest_path())  # atomic on POSIX
+
+    # -- public API ----------------------------------------------------------
+    def exists(self) -> bool:
+        return self._read_manifest()["current"] is not None
+
+    def current_snapshot_id(self) -> Optional[int]:
+        return self._read_manifest()["current"]
+
+    def snapshots(self) -> list[SnapshotInfo]:
+        m = self._read_manifest()
+        return [
+            SnapshotInfo(s["id"], s.get("parent"), s.get("operation", "append"), s.get("properties", {}))
+            for s in m["snapshots"]
+        ]
+
+    def _snap_dir(self, snapshot_id: int) -> str:
+        return os.path.join(self.path, f"snap-{snapshot_id:08d}")
+
+    def write(
+        self,
+        df: DataFrame,
+        *,
+        operation: str = "overwrite",
+        properties: Optional[dict] = None,
+    ) -> int:
+        """Commit ``df`` as a new snapshot; returns the snapshot id.
+
+        The data write happens BEFORE the manifest publish — any failure
+        mid-write leaves the table at its previous snapshot (rollback is
+        simply 'never publish').
+        """
+        manifest = self._read_manifest()
+        new_id = (manifest["current"] or 0) + 1
+        snap_dir = self._snap_dir(new_id)
+        df.write.mode("overwrite").parquet(snap_dir)  # audit target
+        manifest["snapshots"].append(
+            {
+                "id": new_id,
+                "parent": manifest["current"],
+                "operation": operation,
+                "properties": properties or {},
+            }
+        )
+        manifest["current"] = new_id
+        self._publish_manifest(manifest)  # publish
+        return new_id
+
+    def read(self, snapshot_id: Optional[int] = None) -> DataFrame:
+        """Read the current (or a historical) snapshot — time travel."""
+        m = self._read_manifest()
+        sid = snapshot_id if snapshot_id is not None else m["current"]
+        if sid is None:
+            raise FileNotFoundError(f"table {self.path} has no committed snapshot")
+        known = {s["id"] for s in m["snapshots"]}
+        if sid not in known:
+            raise ValueError(f"unknown snapshot id {sid} (known: {sorted(known)})")
+        return self.spark.read.parquet(self._snap_dir(sid))
+
+    def rollback(self, snapshot_id: int) -> None:
+        """Point the table back at an earlier snapshot (data retained)."""
+        m = self._read_manifest()
+        if snapshot_id not in {s["id"] for s in m["snapshots"]}:
+            raise ValueError(f"unknown snapshot id {snapshot_id}")
+        m["current"] = snapshot_id
+        self._publish_manifest(m)
+
+    def expire_snapshots(self, keep_last: int = 2) -> list[int]:
+        """Delete data of all but the newest ``keep_last`` snapshots
+        (never the current one). Returns expired ids."""
+        m = self._read_manifest()
+        ids = [s["id"] for s in m["snapshots"]]
+        keep = set(ids[-keep_last:]) | {m["current"]}
+        expired = []
+        for s in list(m["snapshots"]):
+            if s["id"] not in keep:
+                shutil.rmtree(self._snap_dir(s["id"]), ignore_errors=True)
+                m["snapshots"].remove(s)
+                expired.append(s["id"])
+        self._publish_manifest(m)
+        return expired

@@ -1,0 +1,112 @@
+"""Validated mutation: the distributed form of ``Schema.update``.
+
+Reference semantics (oblate/schema.py:385-436): updates are validated
+eagerly; frozen schemas/fields reject mutation (FrozenError,
+oblate/exceptions.py:75-91); ANY validation error rolls back the entire
+update atomically (:417,433-436).
+
+Distributed translation: validate the change-set in isolation; if any
+violation exists, DO NOT commit (the snapshot table's write-audit-publish
+makes "don't publish" the rollback); otherwise MERGE the changes into a
+new snapshot (upsert by key). ``LoadContext.is_update()`` parity: the
+plan runs with ``mode_flag='update'`` so custom validators can branch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from .engine import ValidationResult, validate
+from .sources.tableio import SnapshotTable
+
+__all__ = ["FrozenError", "UpdateRejected", "update", "merge_upsert"]
+
+
+class FrozenError(RuntimeError):
+    """Mutation of a frozen field or schema (reference oblate/exceptions.py:75-91)."""
+
+
+class UpdateRejected(RuntimeError):
+    """The change-set had validation errors; nothing was committed."""
+
+    def __init__(self, result: ValidationResult, n_violations: int) -> None:
+        self.result = result
+        self.n_violations = n_violations
+        super().__init__(
+            f"update rejected: {n_violations} violation(s); no snapshot committed"
+        )
+
+
+def merge_upsert(current: DataFrame, changes: DataFrame, key: str) -> DataFrame:
+    """MERGE semantics as a plan.
+
+    Full-row change-set: rows of ``current`` whose key is absent from
+    ``changes`` plus all ``changes`` rows (update-or-insert). Partial
+    change-set (a column subset): existing rows get the provided columns
+    replaced, other columns kept; keys absent from ``current`` cannot be
+    inserted from a partial row and are rejected.
+
+    Either way the change-set side is broadcast — the big table is never
+    shuffled."""
+    if set(changes.columns) == set(current.columns):
+        changes = changes.select(*current.columns)
+        keys = changes.select(key).distinct()
+        untouched = current.join(F.broadcast(keys), on=key, how="left_anti")
+        return untouched.unionByName(changes)
+
+    update_cols = [c for c in changes.columns if c != key]
+    renamed = changes.select(
+        F.col(key),
+        F.lit(True).alias("__updated"),
+        *[F.col(c).alias(f"__u_{c}") for c in update_cols],
+    )
+    joined = current.join(F.broadcast(renamed), on=key, how="left")
+    out_cols = [F.col(key)]
+    for c in current.columns:
+        if c == key:
+            continue
+        if c in update_cols:
+            out_cols.append(
+                F.when(F.col("__updated"), F.col(f"__u_{c}")).otherwise(F.col(c)).alias(c)
+            )
+        else:
+            out_cols.append(F.col(c))
+    return joined.select(*out_cols)
+
+
+def update(
+    table: SnapshotTable,
+    changes: DataFrame,
+    schema_cls: Any,
+    *,
+    key: str,
+    mode: str = "typed",
+    updated_columns: Optional[Sequence[str]] = None,
+) -> int:
+    """Validated, atomic upsert into a snapshot table.
+
+    1. frozen checks (schema- and field-level) — compile time
+    2. validate the change-set with the schema plan
+    3. zero violations -> MERGE into a new snapshot (returns its id)
+       any violations -> raise UpdateRejected; table is untouched
+    """
+    cfg = schema_cls.__config__
+    if cfg.frozen:
+        raise FrozenError(f"{schema_cls.__name__} schema is frozen and cannot be updated")
+
+    touched = set(updated_columns if updated_columns is not None else changes.columns) - {key}
+    for f in schema_cls.__fields__.values():
+        if f.frozen and f.load_key in touched:
+            raise FrozenError(f"field {f.load_key!r} is frozen and cannot be updated")
+
+    result = validate(changes, schema_cls, mode=mode, row_id=key, is_update=True)
+    n_bad = result.violations.limit(1).count()
+    if n_bad:
+        n = result.violations.count()
+        raise UpdateRejected(result, n)
+
+    current = table.read()
+    merged = merge_upsert(current, changes, key)
+    return table.write(merged, operation="merge", properties={"key": key})

@@ -1,0 +1,145 @@
+"""Unit tests for Axis-B and pipeline operators (stats/drift/dedup/
+similarity/text) on small controlled inputs; the DuckDB oracle gate in
+tools/check_correctness.py covers them at sf0.01 end-to-end."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oblate_spark.operators import dedup, drift, similarity, stats, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog"),  # near dup
+        (4, "completely different text about spark engines and validation"),
+        (5, "der hund und die katze sind nicht auf der strasse"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_column_profile(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0), (3, 30.0)], "k long, v double"
+    )
+    prof = {r["column"]: r for r in stats.column_profile(df, exact_distinct=True).collect()}
+    assert prof["v"]["null_rate"] == 0.25
+    assert prof["v"]["min_value"] == "10.0" and prof["v"]["max_value"] == "30.0"
+    assert prof["k"]["distinct_count"] == 3
+    assert prof["k"]["row_count"] == 4
+
+
+def test_duplicate_keys_and_salted_variant(spark):
+    df = spark.createDataFrame([(1,), (2,), (2,), (3,), (3,), (3,)], "k long")
+    plain = {r["k"]: r["dup_count"] for r in stats.duplicate_keys(df, "k").collect()}
+    salted = {r["k"]: r["dup_count"] for r in stats.duplicate_keys(df, "k", salt_buckets=4).collect()}
+    assert plain == salted == {2: 2, 3: 3}
+
+
+def test_referential(spark):
+    child = spark.createDataFrame([(1, 10), (2, 99), (3, None)], "id long, fk long")
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    out = stats.referential_violations(child, parent, fk="fk", pk="pk", row_id="id").collect()
+    assert len(out) == 1 and out[0]["row_id"] == "2"  # NULL FK is not a violation
+
+
+def test_psi_ks_detect_shift(spark):
+    a = spark.range(0, 5000).select((F.col("id") % 100).cast("double").alias("x"))
+    b = spark.range(0, 5000).select(((F.col("id") % 100) + 40).cast("double").alias("x"))
+    same = drift.psi(a, a, col="x", lo=0, hi=150, nbins=16)
+    shifted = drift.psi(a, b, col="x", lo=0, hi=150, nbins=16)
+    assert same < 1e-9 < shifted
+    assert drift.ks_statistic(a, b, col="x", lo=0, hi=150, nbins=64) > 0.2
+    rep = drift.drift_report(a, b, col="x", lo=0, hi=150)
+    assert rep["psi_exceeded"] and rep["ks_exceeded"]
+
+
+def test_tdigest_accuracy(spark):
+    df = spark.range(0, 20000).select(F.col("id").cast("double").alias("x"))
+    qs = drift.tdigest_quantiles(df, "x", (0.25, 0.5, 0.75))
+    for q, v in qs.items():
+        assert abs(v - q * 19999) / 19999 < 0.02, (q, v)
+
+
+def test_exact_and_lsh_dedup(docs):
+    ex = dedup.exact_duplicates(docs, id_col="doc_id", text_col="text").collect()
+    assert sorted(r["doc_id"] for r in ex) == [1, 2]
+    cand = dedup.lsh_candidate_pairs(docs, id_col="doc_id", text_col="text").collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in cand}
+    assert (1, 2) in pairs  # exact dups always collide
+    assert not any(4 in p or 5 in p for p in pairs)  # unrelated docs don't
+
+
+def test_jaccard_threshold(docs):
+    out = dedup.ngram_jaccard_pairs(docs, id_col="doc_id", text_col="text", threshold=0.7)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs  # near dup above 0.7
+    assert not any(5 in p for p in pairs)
+
+
+def test_simhash_near_dup_property(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, id_col="doc_id", text_col="text").collect()}
+    assert sh[1] == sh[2]  # identical docs -> identical simhash
+    ham_near = bin(sh[1] ^ sh[3]).count("1")
+    ham_far = bin(sh[1] ^ sh[4]).count("1")
+    assert ham_near < ham_far
+
+
+def test_knn_bruteforce_and_ivf_agree_on_top1(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = [(i, rng.standard_normal(16).astype(float).tolist()) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 2")
+    bf = similarity.knn_bruteforce(df, q, id_col="vec_id", vec_col="embedding", k=5)
+    top1 = {r["query_id"]: r["neighbor_id"] for r in bf.filter("rank = 1").collect()}
+    ivf = similarity.knn_ivf(df, q, id_col="vec_id", vec_col="embedding", k=5,
+                             n_centroids=4, nprobe=4)  # nprobe=all -> exact
+    top1_ivf = {r["query_id"]: r["neighbor_id"] for r in ivf.filter("rank = 1").collect()}
+    assert top1 == top1_ivf
+
+
+def test_embedding_near_duplicates(spark):
+    base = [0.5] * 8
+    rows = [(1, base), (2, [v + 0.001 for v in base]), (3, [(-1) ** i * v for i, v in enumerate(base)])]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    out = dedup.embedding_near_duplicates(df, id_col="id", vec_col="embedding", threshold=0.99)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_language_id_and_quality(docs):
+    langs = {r["doc_id"]: r["lang_pred"] for r in text.language_id(docs, id_col="doc_id", text_col="text").collect()}
+    assert langs[1] == "en" and langs[5] == "de"
+    q = {r["doc_id"]: r["quality"] for r in text.quality_score(docs, id_col="doc_id", text_col="text").collect()}
+    assert 0.0 <= min(q.values()) and max(q.values()) <= 1.0
+
+
+def test_token_counts_and_fingerprint(docs):
+    tc = {r["doc_id"]: r["n_tokens"] for r in text.token_count(docs, id_col="doc_id", text_col="text").collect()}
+    assert tc[1] == 9
+    fp = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(docs, id_col="doc_id", text_col="text").collect()}
+    assert fp[1] == fp[2] and fp[1] != fp[4]
+    sw = {r["doc_id"]: r["n_subwords"] for r in text.subword_count(docs, id_col="doc_id", text_col="text").collect()}
+    assert sw[1] >= tc[1]
+
+
+def test_preprocess_hook(spark):
+    from oblate_spark import Schema, fields
+
+    class S(Schema):
+        f = fields.String()
+
+        @classmethod
+        def preprocess_data(cls, df):
+            return df.withColumn("f", F.upper("f"))
+
+    df = spark.createDataFrame([("0", "abc")], "row_id string, f string")
+    res = S.validate(df)
+    assert res.annotated.select("f").collect()[0]["f"] == "ABC"
