@@ -126,10 +126,18 @@ def _make_kernel_udf(fld: Field):
 
 
 def _validator_checks(fld: Field, col: Column, key: str, value_repr: Column, *, raw: bool) -> list[Column]:
+    """Each validator becomes a single-element-or-empty ARRAY column
+    (never a nullable struct + filter): higher-order functions like
+    F.filter block whole-stage codegen, while CASE WHEN ... THEN
+    array(...) ELSE array() END concats stay fully codegen'd."""
     out = []
     for v in fld.walk_validators(raw=raw):
         msg = v.build(col, fld)
-        out.append(F.when(msg.isNotNull(), _check(key, v.code, msg, value_repr)).otherwise(F.lit(None).cast(CHECK_DDL)))
+        out.append(
+            F.when(msg.isNotNull(), F.array(_check(key, v.code, msg, value_repr))).otherwise(
+                _empty_checks()
+            )
+        )
     return out
 
 
@@ -240,12 +248,20 @@ def _assemble(
     nonraw_checks = _validator_checks(fld, loaded, key, value_repr, raw=False)
 
     def arr(items: list[Column]) -> Column:
+        # concat of single-or-empty arrays: codegen-friendly (no HOFs)
         if not items:
             return _empty_checks()
-        return F.filter(F.array(*items), lambda x: x.isNotNull())
+        if len(items) == 1:
+            return items[0]
+        return F.concat(*items)
+
+    def struct_items_to_arrays(items: list[Column]) -> list[Column]:
+        return [
+            F.when(s.isNotNull(), F.array(s)).otherwise(_empty_checks()) for s in items
+        ]
 
     raw_arr = arr(raw_checks)
-    type_arr = arr(type_structs)
+    type_arr = arr(struct_items_to_arrays(type_structs))
     if kernel_checks is not None:
         type_arr = F.concat(type_arr, kernel_checks)
     nonraw_arr = arr(nonraw_checks)

