@@ -23,11 +23,12 @@ Quick start::
 """
 
 from . import fields, validate
-from .engine import ValidationResult, validate as validate_df
+from .engine import ValidationResult, raw_from_violations, validate as validate_df
 from .errors import ErrorCode
 from .fields import MISSING
 from .schema import GlobalConfig, Schema, SchemaConfig, config
 from .typecheck import TypeValidationError, validate_types
+from .update import FrozenError, UpdateRejected
 
 __version__ = "0.1.0"
 

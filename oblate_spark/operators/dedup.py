@@ -68,7 +68,15 @@ def exact_duplicates(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
 def shingles(df: DataFrame, *, id_col: str, text_col: str, k: int = 5) -> DataFrame:
     """Distinct character k-shingles per document: (id, shingle).
     Computed with sequence+transform (no UDF); array_distinct before the
-    explode keeps the exploded row count = distinct shingles."""
+    explode keeps the exploded row count = distinct shingles.
+
+    The input is repartitioned BEFORE the explode: document tables are
+    often a single small file (one input split), and without the cheap
+    pre-shuffle the entire shingle+hash fan-out — the expensive part —
+    runs in one task (measured: zero core-scaling on sf0.1)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     txt = normalized_text(F.col(text_col))
     arr = F.array_distinct(
         F.transform(
@@ -163,6 +171,9 @@ def ngram_jaccard_pairs(
     scale path. Without it, an exhaustive self-join (small inputs /
     oracle checks only; quadratic by construction).
     """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)  # single-file inputs -> parallel join sides
     toks = df.select(F.col(id_col), _token_set(F.col(text_col)).alias("toks"))
     a = toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
     b = toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
@@ -190,6 +201,9 @@ def simhash(df: DataFrame, *, id_col: str, text_col: str, bits: int = 48) -> Dat
     bits; bucket by signature prefix to find them. Pure expressions:
     explode tokens -> one groupBy(id) with ``bits`` conditional sums.
     """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)  # same single-input-split hazard as shingles()
     toks = df.select(
         F.col(id_col), F.explode(_token_set(F.col(text_col))).alias("tok")
     ).select(F.col(id_col), F.md5(F.col("tok")).alias("th"))

@@ -257,6 +257,7 @@ def validate_image_table(
     check_unique: bool = True,
     materialize: str = "cache",
     checkpoint_dir: Optional[str] = None,
+    source_path: Optional[str] = None,
 ) -> DataFrame:
     """Full north-rule validation of an image+caption table: row-level
     schema checks + payload kernel + salted uniqueness on image_id and
@@ -276,7 +277,13 @@ def validate_image_table(
     from .stats import uniqueness_violations
 
     if check_payload:
-        report = image_payload_report(df)
+        if source_path is not None:
+            # file-driven kernel: workers read their parquet split with
+            # pyarrow directly; the multi-KB bytes never cross the
+            # JVM->Python socket (the measured feed wall)
+            report = image_payload_report_from_files(df.sparkSession, source_path)
+        else:
+            report = image_payload_report(df)
         if materialize == "checkpoint":
             if checkpoint_dir is None:
                 raise ValueError("materialize='checkpoint' requires checkpoint_dir")
@@ -353,20 +360,18 @@ def image_payload_report_from_files(
             phash64,
         )
 
+        meta_cols = ["image_id", "w", "h", "fmt", "caption", "phash"]
         for pdf in iterator:
             for fname in pdf["file"]:
-                tbl = pq.read_table(fname)
-                cols = {
-                    "image_id": tbl.column("image_id").to_pylist(),
-                    "w": tbl.column("w").to_pylist(),
-                    "h": tbl.column("h").to_pylist(),
-                    "fmt": tbl.column("fmt").to_pylist(),
-                    "caption": tbl.column("caption").to_pylist(),
-                    "phash": tbl.column("phash").to_pylist(),
-                }
+                tbl = pq.read_table(fname, use_threads=False)  # 32 workers x arrow pool = thrash
+                # vectorized Arrow->pandas for the metadata; only the
+                # bytes column needs python objects (decode input)
+                meta = tbl.select(meta_cols).to_pandas(
+                    use_threads=False, types_mapper={None: None}.get
+                )
                 blobs = tbl.column("bytes").to_pylist()
                 n = len(blobs)
-                out = dict(cols)
+                out = {c: meta[c] for c in meta_cols}
                 out["decode_ok"] = [False] * n
                 out["decode_err"] = [None] * n
                 out["w_actual"] = [None] * n
@@ -388,12 +393,9 @@ def image_payload_report_from_files(
                     out["fmt_actual"][i] = detect_format(blob)
                     if compute_phash:
                         out["phash_actual"][i] = phash64(pixels)
-                out["phash"] = pd.array(out["phash"], dtype="Int64")
                 out["phash_actual"] = pd.array(out["phash_actual"], dtype="Int64")
                 out["w_actual"] = pd.array(out["w_actual"], dtype="Int32")
                 out["h_actual"] = pd.array(out["h_actual"], dtype="Int32")
-                out["w"] = pd.array(out["w"], dtype="Int32")
-                out["h"] = pd.array(out["h"], dtype="Int32")
                 yield pd.DataFrame(out)
 
     fdf = spark.createDataFrame([(f,) for f in files], "file string").repartition(len(files))

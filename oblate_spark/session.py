@@ -30,6 +30,10 @@ def get_spark(
     tiny reducers; at cluster scale callers override this to
     ~2-3x total cores.
     """
+    # keep per-worker numpy/BLAS single-threaded: N python workers each
+    # spawning a BLAS pool oversubscribes the box (inherited by workers)
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
