@@ -281,6 +281,46 @@ def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(d, id_col="doc_id", text_col="text", bits=SIMHASH_BITS)
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over a doubled embeddings
+    table (the base table has no near-dups at 0.999; doubling guarantees
+    each vector pairs with its copy at cosine 1.0)."""
+    from oblate_spark.operators.dedup import embedding_near_duplicates
+
+    emb = _read(spark, sf_dir, "embeddings")
+    doubled = emb.unionByName(
+        emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label")
+    )
+    out = embedding_near_duplicates(
+        doubled.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")),
+        id_col="vec_id", vec_col="embedding", threshold=0.9999,
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 6).cast("decimal(18,6)").alias("cosine"))
+
+
+def q_jaccard_on_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-path composition: LSH candidates feed the exact Jaccard
+    verifier — quadratic work collapses to candidate pairs only."""
+    from oblate_spark.operators.dedup import lsh_candidate_pairs, ngram_jaccard_pairs
+
+    d = _read(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(
+        d, id_col="doc_id", text_col="text", k=SHINGLE_K,
+        num_hashes=NUM_HASHES, rows_per_band=ROWS_PER_BAND,
+    ).select(F.col("id_a"), F.col("id_b"))
+    pairs = ngram_jaccard_pairs(
+        d, id_col="doc_id", text_col="text", threshold=0.0, pairs=cand
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).cast("decimal(18,6)").alias("jaccard"))
+
+
+def q_sessionization_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oblate_spark.operators.sessions import session_stats
+
+    ev = _read(spark, sf_dir, "events")
+    return session_stats(ev, user_col="user_id", ts_col="ts", gap_minutes=30)
+
+
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oblate_spark.operators.similarity import knn_bruteforce
 
@@ -366,6 +406,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_documents": q_fingerprint_documents,
         "simhash_documents": q_simhash_documents,
         "knn_bruteforce": q_knn_bruteforce,
+        "embedding_near_dup": q_embedding_near_dup,
+        "jaccard_on_lsh_candidates": q_jaccard_on_lsh_candidates,
+        "sessionization_events": q_sessionization_events,
         "events_hourly_counts": q_events_hourly_counts,
         # rows-only (non-SQL-expressible: image decode / sketch / regex
         # lookarounds absent from RE2)
@@ -623,6 +666,49 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rk <= {FINGERPRINT_K} GROUP BY doc_id
         """,
         "simhash_documents": _sql_simhash(),
+        "embedding_near_dup": """
+            WITH doubled AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings),
+            pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+                FROM doubled a, doubled b WHERE a.vec_id < b.vec_id)
+            SELECT id_a, id_b, round(cos, 6)::DECIMAL(18,6) AS cosine
+            FROM pairs WHERE cos >= 0.9999
+        """,
+        "jaccard_on_lsh_candidates": f"""
+            WITH bands AS ({_sql_bands()}),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+                WHERE a.doc_id < b.doc_id),
+            toks AS (SELECT doc_id, list_distinct(string_split({_NORM}, ' ')) AS t
+                     FROM documents)
+            SELECT c.id_a, c.id_b,
+                   round(len(list_intersect(a.t, b.t))::DOUBLE
+                         / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))), 6)::DECIMAL(18,6) AS jaccard
+            FROM cand c JOIN toks a ON c.id_a = a.doc_id JOIN toks b ON c.id_b = b.doc_id
+        """,
+        "sessionization_events": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                              OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events),
+            sess AS (
+                SELECT user_id,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM flagged),
+            per AS (SELECT user_id, session_id, count(*) AS events
+                    FROM sess GROUP BY user_id, session_id)
+            SELECT user_id, count(*)::BIGINT AS n_sessions,
+                   sum(events)::BIGINT AS n_events,
+                   max(events)::BIGINT AS max_session_events
+            FROM per GROUP BY user_id
+        """,
         "knn_bruteforce": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                        FROM embeddings WHERE vec_id < {KNN_QUERIES}),
