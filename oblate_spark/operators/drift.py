@@ -228,3 +228,61 @@ def tdigest_quantiles(
     merged = TDigest.from_rows([(r["mean"], r["weight"]) for r in partials], comp)
     merged._compress()
     return {q: merged.quantile(q) for q in quantiles}
+
+
+def categorical_histogram(df: DataFrame, col: str) -> DataFrame:
+    """(value, cnt) — counts per category (map-side combinable)."""
+    return df.filter(F.col(col).isNotNull()).groupBy(F.col(col).alias("value")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def categorical_psi(
+    expected: DataFrame, actual: DataFrame, *, col: str, eps: float = 1e-6
+) -> float:
+    """PSI over a categorical column (e.g. image format mix): same
+    formula as the binned numeric PSI, categories as bins (union of both
+    sides; missing category -> eps)."""
+    e = {r["value"]: float(r["cnt"]) for r in categorical_histogram(expected, col).collect()}
+    a = {r["value"]: float(r["cnt"]) for r in categorical_histogram(actual, col).collect()}
+    cats = sorted(set(e) | set(a))
+    et, at = sum(e.values()) or 1.0, sum(a.values()) or 1.0
+    total = 0.0
+    for c in cats:
+        pe = max(e.get(c, 0.0) / et, eps)
+        pa = max(a.get(c, 0.0) / at, eps)
+        total += (pa - pe) * math.log(pa / pe)
+    return float(total)
+
+
+def image_table_drift_report(
+    reference: DataFrame,
+    current: DataFrame,
+    *,
+    caption_col: str = "caption",
+    fmt_col: str = "fmt",
+    max_caption_len: float = 256.0,
+    nbins: int = 16,
+    psi_threshold: float = 0.25,
+) -> dict:
+    """North-rule drift checks for the image+caption table: caption-
+    length distribution (numeric PSI + KS on fixed bins) and format mix
+    (categorical PSI) between a reference snapshot and the current data.
+    Both sides reduce to <= nbins counts before any driver-side math.
+
+    PSI is a large-sample statistic: with n samples per side its noise
+    floor is ~nbins/n (eps-floored singleton bins explode the log term),
+    so keep nbins << n — the 16-bin default is calibrated for >= 1k rows
+    per side; at real scale any nbins is fine."""
+    ref_len = reference.select(F.length(caption_col).cast("double").alias("__len"))
+    cur_len = current.select(F.length(caption_col).cast("double").alias("__len"))
+    cap_psi = psi(ref_len, cur_len, col="__len", lo=0.0, hi=max_caption_len, nbins=nbins)
+    cap_ks = ks_statistic(ref_len, cur_len, col="__len", lo=0.0, hi=max_caption_len, nbins=128)
+    fmt_psi = categorical_psi(reference, current, col=fmt_col)
+    return {
+        "caption_len_psi": cap_psi,
+        "caption_len_ks": cap_ks,
+        "fmt_mix_psi": fmt_psi,
+        "caption_drifted": cap_psi > psi_threshold,
+        "fmt_drifted": fmt_psi > psi_threshold,
+    }

@@ -44,6 +44,7 @@ def test_generation_is_parallelism_invariant(spark):
         assert ra["image_id"] == rb["image_id"]
         assert bytes(ra["bytes"]) == bytes(rb["bytes"])
         assert ra["phash"] == rb["phash"]
+        assert ra["caption"] == rb["caption"]  # exact caption equality invariant
 
 
 def test_payload_report_counts(images_df):

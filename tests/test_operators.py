@@ -130,6 +130,26 @@ def test_token_counts_and_fingerprint(docs):
     assert sw[1] >= tc[1]
 
 
+def test_image_table_drift(spark):
+    from oblate_spark import fixtures
+
+    df = fixtures.build_images_df(spark, 2000, partitions=8).cache()
+    half_a = df.filter("pmod(abs(hash(image_id)), 2) = 0")
+    half_b = df.filter("pmod(abs(hash(image_id)), 2) = 1")
+    rep = drift.image_table_drift_report(half_a, half_b)
+    assert not rep["caption_drifted"] and not rep["fmt_drifted"]
+
+    # inject drift: truncate captions + flip formats
+    drifted = df.selectExpr(
+        "image_id", "bytes", "w", "h",
+        "CASE WHEN fmt = 'bmp' THEN 'png' ELSE 'ppm' END AS fmt",
+        "substring(caption, 1, 8) AS caption", "phash",
+    )
+    rep2 = drift.image_table_drift_report(df, drifted)
+    assert rep2["caption_drifted"] and rep2["fmt_drifted"]
+    df.unpersist()
+
+
 def test_preprocess_hook(spark):
     from oblate_spark import Schema, fields
 
