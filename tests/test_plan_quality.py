@@ -112,3 +112,32 @@ def test_whole_stage_codegen_covers_checks(spark, images_path):
     project_lines = re.findall(r"\(\d+\) Project(.*)", plan)
     assert project_lines and any("codegen id" in l for l in project_lines), plan[:1500]
     assert "lambdafunction" not in plan.split("== Physical Plan ==")[1].split("(1)")[0] or True
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Same-bucketed tables join with zero shuffle (co-location).
+    Broadcast is disabled for the test because the toy tables are small
+    enough that Catalyst would otherwise broadcast (and rightly so) —
+    the bucketed path is for two BIG sides."""
+    import uuid
+
+    from oblate_spark.sources.bucketing import bucketed_join_ready, write_bucketed
+
+    ta, tb = f"b_orders_{uuid.uuid4().hex[:8]}", f"b_items_{uuid.uuid4().hex[:8]}"
+    orders = spark.range(0, 5000).selectExpr("id AS o_orderkey", "id % 7 AS o_flag")
+    items = spark.range(0, 20000).selectExpr("id % 5000 AS o_orderkey", "id AS l_id")
+    write_bucketed(orders, ta, key="o_orderkey", buckets=8)
+    write_bucketed(items, tb, key="o_orderkey", buckets=8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join_ready(spark, ta, tb, "o_orderkey")
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan  # co-located: no shuffle
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() == 20000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
