@@ -274,7 +274,7 @@ def validate_image_table(
     dominated the job (measured: 4 scans made local[32] slower than
     local[8]).
     """
-    from .stats import uniqueness_violations
+    from .stats import multi_key_uniqueness_violations
 
     if check_payload:
         if source_path is not None:
@@ -308,13 +308,13 @@ def validate_image_table(
 
     if check_unique:
         slim = base.select("image_id", "phash")
-        uid = uniqueness_violations(slim, "image_id", row_id="image_id").drop("dup_count")
-        uph = uniqueness_violations(slim, "phash", row_id="image_id").drop("dup_count")
-        pid = F.lit(-1).alias("partition_id")  # table-level checks have no source partition
-        parts.append(uid.withColumn("value_repr", F.lit(None).cast("string")).select(
-            "row_id", "field_key", "error_code", "message", "value_repr", pid))
-        parts.append(uph.withColumn("value_repr", F.lit(None).cast("string")).select(
-            "row_id", "field_key", "error_code", "message", "value_repr", pid))
+        uniq = multi_key_uniqueness_violations(slim, ["image_id", "phash"], row_id="image_id")
+        parts.append(
+            uniq.select(
+                "row_id", "field_key", "error_code", "message", "value_repr",
+                F.lit(-1).alias("partition_id"),  # table-level: no source partition
+            )
+        )
 
     out = parts[0]
     for p in parts[1:]:
