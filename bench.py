@@ -229,6 +229,25 @@ def main() -> None:
         result["engine_relative_efficiency"] = round(
             result["scaling"]["efficiency"] / ctl_eff, 3
         ) if ctl_eff > 0 else None
+
+        # reference single-node comparison (izxxr/oblate is a pure-python
+        # row-at-a-time library; this measures it on the same rows)
+        try:
+            ref = subprocess.run(
+                [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                              "tools", "reference_throughput.py"), "20000"],
+                capture_output=True, text=True, timeout=600,
+            )
+            for line in reversed(ref.stdout.strip().splitlines()):
+                if line.startswith("{"):
+                    refj = json.loads(line)
+                    result["reference_single_node"] = refj
+                    ref_full = refj.get("reference_equivalent_full_rows_per_sec") or 0
+                    if ref_full:
+                        result["speedup_vs_reference"] = round(result["value"] / ref_full, 2)
+                    break
+        except Exception:
+            pass
         _write_baseline_md(result)
 
     print(json.dumps(result))
@@ -257,6 +276,8 @@ def _write_baseline_md(result: dict) -> None:
         f"| scaling efficiency (N -> 4N cores) | {sc.get('efficiency')} |",
         f"| hardware-control efficiency (Spark-free twin) | {result.get('hardware_control', {}).get('efficiency')} |",
         f"| engine-relative efficiency (spark / control) | {result.get('engine_relative_efficiency')} |",
+        f"| reference-equivalent single-node (izxxr/oblate + same payload work, 1 process) | {result.get('reference_single_node', {}).get('reference_equivalent_full_rows_per_sec')} images/sec |",
+        f"| speedup vs reference single-node | {result.get('speedup_vs_reference')}x |",
         "",
         "The hardware control runs the identical decode+phash work through",
         "a plain multiprocessing pool: any efficiency it loses going from",
