@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import os
 from collections.abc import Callable
-from decimal import Decimal
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -175,7 +174,7 @@ def q_psi_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         nbins=PSI_BINS,
         eps=PSI_EPS,
     )
-    return spark.createDataFrame([(Decimal(f"{val:.6f}"),)], "psi decimal(18,6)")
+    return spark.createDataFrame([(float(f"{val:.6f}"),)], "psi double")
 
 
 def q_ks_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -190,7 +189,7 @@ def q_ks_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi=PRICE_HI,
         nbins=KS_BINS,
     )
-    return spark.createDataFrame([(Decimal(f"{val:.6f}"),)], "ks decimal(18,6)")
+    return spark.createDataFrame([(float(f"{val:.6f}"),)], "ks double")
 
 
 def q_exact_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -230,7 +229,7 @@ def q_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _read(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, id_col="doc_id", text_col="text", threshold=JACCARD_THRESHOLD)
     return pairs.select(
-        "id_a", "id_b", F.round("jaccard", 6).cast("decimal(18,6)").alias("jaccard")
+        "id_a", "id_b", F.round(F.col("jaccard").cast("double"), 6).alias("jaccard")
     )
 
 
@@ -260,10 +259,10 @@ def q_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = quality_score(d, id_col="doc_id", text_col="text")
     return out.select(
         "doc_id",
-        F.col("len_score").cast("decimal(18,6)").alias("len_score"),
-        F.col("punct_ratio").cast("decimal(18,6)").alias("punct_ratio"),
-        F.col("stop_ratio").cast("decimal(18,6)").alias("stop_ratio"),
-        F.col("quality").cast("decimal(18,6)").alias("quality"),
+        F.round(F.col("len_score").cast("double"), 6).alias("len_score"),
+        F.round(F.col("punct_ratio").cast("double"), 6).alias("punct_ratio"),
+        F.round(F.col("stop_ratio").cast("double"), 6).alias("stop_ratio"),
+        F.round(F.col("quality").cast("double"), 6).alias("quality"),
     )
 
 
@@ -295,7 +294,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         doubled.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")),
         id_col="vec_id", vec_col="embedding", threshold=0.9999,
     )
-    return out.select("id_a", "id_b", F.round("cosine", 6).cast("decimal(18,6)").alias("cosine"))
+    return out.select("id_a", "id_b", F.round(F.col("cosine").cast("double"), 6).alias("cosine"))
 
 
 def q_jaccard_on_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,7 +310,9 @@ def q_jaccard_on_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(
         d, id_col="doc_id", text_col="text", threshold=0.0, pairs=cand
     )
-    return pairs.select("id_a", "id_b", F.round("jaccard", 6).cast("decimal(18,6)").alias("jaccard"))
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("jaccard").cast("double"), 6).alias("jaccard")
+    )
 
 
 def q_sessionization_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -516,7 +517,7 @@ def _sql_psi_ks(nbins: int, stat: str) -> str:
             base
             + f"""
     SELECT round(sum((greatest(pa0, {PSI_EPS}) - greatest(pe0, {PSI_EPS}))
-                 * ln(greatest(pa0, {PSI_EPS}) / greatest(pe0, {PSI_EPS}))), 6)::DECIMAL(18,6) AS psi
+                 * ln(greatest(pa0, {PSI_EPS}) / greatest(pe0, {PSI_EPS}))), 6)::DOUBLE AS psi
     FROM probs
     """
         )
@@ -527,7 +528,7 @@ def _sql_psi_ks(nbins: int, stat: str) -> str:
                      sum(pe0) OVER (ORDER BY bin) AS ce,
                      sum(pa0) OVER (ORDER BY bin) AS ca
               FROM probs)
-    SELECT round(max(abs(ce - ca)), 6)::DECIMAL(18,6) AS ks FROM cdf
+    SELECT round(max(abs(ce - ca)), 6)::DOUBLE AS ks FROM cdf
     """
     )
 
@@ -620,7 +621,7 @@ def oracle_sql() -> dict[str, str]:
                           FROM documents)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    round(len(list_intersect(a.t, b.t))::DOUBLE
-                         / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))), 6)::DECIMAL(18,6) AS jaccard
+                         / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))), 6)::DOUBLE AS jaccard
             FROM toks a, toks b
             WHERE a.doc_id < b.doc_id
               AND len(list_intersect(a.t, b.t))::DOUBLE
@@ -649,11 +650,11 @@ def oracle_sql() -> dict[str, str]:
                            / greatest(len({_TOKENS}), 1) AS stop_ratio
                 FROM documents)
             SELECT doc_id,
-                   round(len_score, 6)::DECIMAL(18,6) AS len_score,
-                   round(punct_ratio, 6)::DECIMAL(18,6) AS punct_ratio,
-                   round(stop_ratio, 6)::DECIMAL(18,6) AS stop_ratio,
+                   round(len_score, 6)::DOUBLE AS len_score,
+                   round(punct_ratio, 6)::DOUBLE AS punct_ratio,
+                   round(stop_ratio, 6)::DOUBLE AS stop_ratio,
                    round(0.4 * len_score + 0.3 * (1.0 - least(punct_ratio * 5, 1.0))
-                         + 0.3 * least(stop_ratio * 4, 1.0), 6)::DECIMAL(18,6) AS quality
+                         + 0.3 * least(stop_ratio * 4, 1.0), 6)::DOUBLE AS quality
             FROM base
         """,
         "fingerprint_documents": f"""
@@ -674,7 +675,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                        list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
                 FROM doubled a, doubled b WHERE a.vec_id < b.vec_id)
-            SELECT id_a, id_b, round(cos, 6)::DECIMAL(18,6) AS cosine
+            SELECT id_a, id_b, round(cos, 6)::DOUBLE AS cosine
             FROM pairs WHERE cos >= 0.9999
         """,
         "jaccard_on_lsh_candidates": f"""
@@ -687,7 +688,7 @@ def oracle_sql() -> dict[str, str]:
                      FROM documents)
             SELECT c.id_a, c.id_b,
                    round(len(list_intersect(a.t, b.t))::DOUBLE
-                         / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))), 6)::DECIMAL(18,6) AS jaccard
+                         / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))), 6)::DOUBLE AS jaccard
             FROM cand c JOIN toks a ON c.id_a = a.doc_id JOIN toks b ON c.id_b = b.doc_id
         """,
         "sessionization_events": """
