@@ -362,12 +362,37 @@ def q_image_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: deterministic IVF (md5-seeded centroids, literal-
+    array argmax assignment, nprobe bucket probing) — fully expressible
+    in SQL, so it carries a DuckDB oracle."""
     from oblate_spark.operators.similarity import knn_ivf
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
     q = emb.filter(F.col("vec_id") < KNN_QUERIES)
     out = knn_ivf(emb, q, id_col="vec_id", vec_col="embedding", k=KNN_K, n_centroids=8, nprobe=3)
     return out.select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
+
+
+def q_embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN x dedup composition (scale path): IVF bucket blocking
+    generates candidate pairs; exact cosine verifies them — mirroring
+    jaccard_on_lsh_candidates for embeddings."""
+    from oblate_spark.operators.dedup import embedding_near_duplicates
+    from oblate_spark.operators.similarity import ivf_bucket_candidate_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    doubled = emb.unionByName(
+        emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label")
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    cand = ivf_bucket_candidate_pairs(
+        doubled, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    out = embedding_near_duplicates(
+        doubled, id_col="vec_id", vec_col="embedding", threshold=0.9999, pairs=cand
+    )
+    return out.select("id_a", "id_b", F.round(F.col("cosine").cast("double"), 6).alias("cosine"))
 
 
 def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -409,12 +434,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "embedding_near_dup": q_embedding_near_dup,
         "jaccard_on_lsh_candidates": q_jaccard_on_lsh_candidates,
+        "ivf_knn": q_ivf_knn,
+        "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
         "sessionization_events": q_sessionization_events,
         "events_hourly_counts": q_events_hourly_counts,
-        # rows-only (non-SQL-expressible: image decode / sketch / regex
-        # lookarounds absent from RE2)
+        # rows-only (non-SQL-expressible: sketch tolerance bounds)
         "image_validation": q_image_validation,
-        "ivf_knn": q_ivf_knn,
         "tdigest_quantiles": q_tdigest_quantiles,
         "subword_count_documents": q_subword_count_documents,
     }
@@ -531,6 +556,30 @@ def _sql_psi_ks(nbins: int, stat: str) -> str:
     SELECT round(max(abs(ce - ca)), 6)::DOUBLE AS ks FROM cdf
     """
     )
+
+
+def _sql_ivf_assigned(source: str, n_centroids: int) -> str:
+    """CTE body: deterministic IVF over ``source`` (vec_id, embedding) —
+    centroids = n vectors with smallest md5(vec_id), ids 1..n in md5
+    order; each vector assigned to argmax-cosine centroid (tie: smallest
+    centroid id). Exact twin of operators/similarity.py seeding +
+    literal-array argmax."""
+    return f"""
+    cents AS (
+        SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) AS cid,
+               embedding::DOUBLE[] AS cvec
+        FROM (SELECT vec_id, embedding FROM {source}
+              ORDER BY md5(vec_id::VARCHAR) LIMIT {n_centroids})),
+    assigned AS (
+        SELECT vec_id, v, bucket FROM (
+            SELECT s.vec_id, s.embedding::DOUBLE[] AS v, c.cid AS bucket,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id
+                       ORDER BY list_cosine_similarity(s.embedding::DOUBLE[], c.cvec) DESC,
+                                c.cid ASC) AS rk
+            FROM {source} s CROSS JOIN cents c)
+        WHERE rk = 1)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -690,6 +739,43 @@ def oracle_sql() -> dict[str, str]:
                    round(len(list_intersect(a.t, b.t))::DOUBLE
                          / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))), 6)::DOUBLE AS jaccard
             FROM cand c JOIN toks a ON c.id_a = a.doc_id JOIN toks b ON c.id_b = b.doc_id
+        """,
+        "ivf_knn": f"""
+            WITH {_sql_ivf_assigned("embeddings", 8)},
+            probes AS (
+                SELECT query_id, qv, bucket FROM (
+                    SELECT q.vec_id AS query_id, q.embedding::DOUBLE[] AS qv,
+                           c.cid AS bucket,
+                           row_number() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cvec) DESC,
+                                        c.cid ASC) AS rk
+                    FROM embeddings q CROSS JOIN cents c
+                    WHERE q.vec_id < {KNN_QUERIES})
+                WHERE rk <= 3),
+            cand AS (
+                SELECT p.query_id, a.vec_id AS neighbor_id,
+                       list_cosine_similarity(a.v, p.qv) AS cos
+                FROM probes p JOIN assigned a ON a.bucket = p.bucket
+                WHERE a.vec_id <> p.query_id),
+            r AS (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, neighbor_id ASC) AS rk
+                  FROM cand)
+            SELECT query_id, neighbor_id, rk::BIGINT AS "rank" FROM r WHERE rk <= {KNN_K}
+        """,
+        "embedding_near_dup_ivf": f"""
+            WITH doubled AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings),
+            {_sql_ivf_assigned("doubled", 8)},
+            cand AS (
+                SELECT a.vec_id AS id_a, a.v AS va, b.vec_id AS id_b, b.v AS vb
+                FROM assigned a JOIN assigned b ON a.bucket = b.bucket
+                WHERE a.vec_id < b.vec_id)
+            SELECT id_a, id_b,
+                   round(list_cosine_similarity(va, vb), 6)::DOUBLE AS cosine
+            FROM cand WHERE list_cosine_similarity(va, vb) >= 0.9999
         """,
         "sessionization_events": """
             WITH flagged AS (

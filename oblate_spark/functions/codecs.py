@@ -110,7 +110,7 @@ def _decode_bmp(data: bytes) -> np.ndarray:
     w, h = struct.unpack_from("<ii", data, 18)
     planes, bpp = struct.unpack_from("<HH", data, 26)
     compression = struct.unpack_from("<I", data, 30)[0]
-    if bpp != 24 or compression != 0 or w <= 0:
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
         raise ImageDecodeError("unsupported BMP variant")
     flipped = h > 0
     h = abs(h)
@@ -211,6 +211,8 @@ def _decode_png(data: bytes) -> np.ndarray:
     w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
     if depth != 8 or ctype != 2 or comp != 0 or filt != 0 or interlace != 0:
         raise ImageDecodeError("unsupported PNG variant")
+    if w <= 0 or h <= 0:
+        raise ImageDecodeError("zero-dimension PNG")
     try:
         raw = zlib.decompress(idat)
     except zlib.error as e:

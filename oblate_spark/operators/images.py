@@ -95,15 +95,21 @@ def image_payload_report(
                 data = bytes(blob)
                 try:
                     pixels = decode_image(data)
+                    fmt_actual = detect_format(data)
+                    ph = phash64(pixels) if compute_phash else None
                 except ImageDecodeError as e:
                     out["decode_err"][i] = str(e)
+                    continue
+                except Exception as e:  # malformed payload must become a
+                    # violation row, never a task failure
+                    out["decode_err"][i] = f"{type(e).__name__}: {e}"
                     continue
                 out["decode_ok"][i] = True
                 out["h_actual"][i] = int(pixels.shape[0])
                 out["w_actual"][i] = int(pixels.shape[1])
-                out["fmt_actual"][i] = detect_format(data)
+                out["fmt_actual"][i] = fmt_actual
                 if compute_phash:
-                    out["phash_actual"][i] = phash64(pixels)
+                    out["phash_actual"][i] = ph
             # nullable Int64: a plain list with Nones becomes float64 and
             # silently truncates 64-bit hashes to 53-bit mantissas
             out["phash_actual"] = pd.array(out["phash_actual"], dtype="Int64")
@@ -384,15 +390,20 @@ def image_payload_report_from_files(
                         continue
                     try:
                         pixels = decode_image(blob)
+                        fmt_actual = detect_format(blob)
+                        ph = phash64(pixels) if compute_phash else None
                     except ImageDecodeError as e:
                         out["decode_err"][i] = str(e)
+                        continue
+                    except Exception as e:  # violation row, not task failure
+                        out["decode_err"][i] = f"{type(e).__name__}: {e}"
                         continue
                     out["decode_ok"][i] = True
                     out["h_actual"][i] = int(pixels.shape[0])
                     out["w_actual"][i] = int(pixels.shape[1])
-                    out["fmt_actual"][i] = detect_format(blob)
+                    out["fmt_actual"][i] = fmt_actual
                     if compute_phash:
-                        out["phash_actual"][i] = phash64(pixels)
+                        out["phash_actual"][i] = ph
                 out["phash_actual"] = pd.array(out["phash_actual"], dtype="Int64")
                 out["w_actual"] = pd.array(out["w_actual"], dtype="Int32")
                 out["h_actual"] = pd.array(out["h_actual"], dtype="Int32")

@@ -21,6 +21,7 @@ __all__ = [
     "knn_bruteforce",
     "ivf_assign",
     "knn_ivf",
+    "ivf_bucket_candidate_pairs",
     "knn_bruteforce_pandas",
 ]
 
@@ -79,13 +80,39 @@ def knn_bruteforce(
 
 def _centroids_from_corpus(corpus: DataFrame, id_col: str, vec_col: str, n: int) -> DataFrame:
     """Deterministic centroid seeds: the n corpus vectors with the
-    smallest md5(id) — stable across runs/engines, no RNG."""
-    w = Window.orderBy(F.md5(F.col(id_col).cast("string")))
+    smallest md5(id) — stable across runs/engines, no RNG.
+
+    Planned as TakeOrderedAndProject (per-partition top-n then a tiny
+    driver-side merge) — the full corpus is never sorted or moved to one
+    partition. The row_number window that assigns 1..n ids runs over the
+    already-reduced n-row result only."""
+    seeds = (
+        corpus.select(F.col(id_col).alias("__sid"), F.col(vec_col).alias("centroid"))
+        .orderBy(F.md5(F.col("__sid").cast("string")))
+        .limit(n)
+    )
+    w = Window.orderBy(F.md5(F.col("__sid").cast("string")))
     return (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= n)
-        .select(F.col("__r").alias("centroid_id"), F.col(vec_col).alias("centroid"))
+        seeds.withColumn("centroid_id", F.row_number().over(w))
+        .select("centroid_id", "centroid")
+    )
+
+
+def _centroid_array_literal(cent_rows) -> Column:
+    """Collected centroid rows -> array<struct<cid,vec>> literal column.
+
+    The centroid set is tiny by construction (n_centroids rows), so
+    inlining it as a literal ships it inside the plan itself — every
+    executor evaluates the argmax against it with ZERO join, shuffle, or
+    broadcast exchange."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(r["centroid_id"])).alias("cid"),
+                F.array(*[F.lit(float(v)) for v in r["centroid"]]).alias("vec"),
+            )
+            for r in cent_rows
+        ]
     )
 
 
@@ -100,22 +127,32 @@ def ivf_assign(
     """Assign each vector to its nearest centroid (IVF coarse quantizer).
 
     Returns (assigned corpus with ``bucket`` column, centroids). The
-    centroid table is tiny and broadcast; assignment is one scan with a
-    per-row argmax window (no shuffle of the corpus payload beyond the
-    rank)."""
-    cents = centroids or _centroids_from_corpus(corpus, id_col, vec_col, n_centroids)
-    cents = F.broadcast(cents)
-    scored = corpus.crossJoin(cents).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("centroid_id"),
-        cosine_expr(F.col(vec_col), F.col("centroid")).alias("__sim"),
+    centroid table (tiny: n_centroids rows — the one intentional,
+    bounded driver collect) is inlined as an array literal and the
+    argmax is a single ``array_max(transform(...))`` expression: one
+    corpus scan, zero shuffle, no N x C row expansion. Ties break to the
+    smallest centroid_id."""
+    cents = (
+        centroids
+        if centroids is not None
+        else _centroids_from_corpus(corpus, id_col, vec_col, n_centroids)
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("centroid_id"))
-    assigned = (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .select(id_col, vec_col, F.col("centroid_id").alias("bucket"))
+    cent_rows = cents.collect()  # bounded: n_centroids rows
+    cent_lit = _centroid_array_literal(cent_rows)
+    vec = F.col(vec_col)
+    # lexicographic struct max: sim first, then -cid (= smallest cid on tie)
+    best = F.array_max(
+        F.transform(
+            cent_lit,
+            lambda c: F.struct(
+                cosine_expr(vec, c["vec"]).alias("sim"),
+                (-c["cid"]).alias("negcid"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    assigned = corpus.select(
+        F.col(id_col), vec.alias(vec_col), best["cid"].alias("bucket")
     )
     return assigned, cents
 
@@ -137,32 +174,95 @@ def knn_ivf(
 
     At 100 TB the bucketed corpus would be written partitioned by
     ``bucket`` so each query touches nprobe partitions (partition
-    pruning on the join key)."""
-    qid = query_id_col or id_col
-    assigned, cents = ivf_assign(corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids)
+    pruning on the join key).
 
-    q = queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("qv"))
-    q_scored = q.crossJoin(cents).select(
+    Plan shape: one corpus scan (literal-array argmax assignment — no
+    shuffle, no N x C expansion), a broadcast join against the probed
+    (query, bucket) pairs, and a final per-query top-k window over the
+    candidate subset only."""
+    qid = query_id_col or id_col
+    cents = _centroids_from_corpus(corpus, id_col, vec_col, n_centroids)
+    cent_rows = cents.collect()  # bounded: n_centroids rows
+    cent_lit = _centroid_array_literal(cent_rows)
+
+    vec = F.col(vec_col)
+    best = F.array_max(
+        F.transform(
+            cent_lit,
+            lambda c: F.struct(
+                cosine_expr(vec, c["vec"]).alias("sim"),
+                (-c["cid"]).alias("negcid"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"), vec.alias("cv"), best["cid"].alias("bucket")
+    )
+
+    # per-query nprobe nearest buckets: sort the same literal array by
+    # (-sim, cid) and slice — no window, no shuffle on the query side
+    qv = F.col("qv")
+    probes_arr = F.slice(
+        F.array_sort(
+            F.transform(
+                cent_lit,
+                lambda c: F.struct(
+                    (-cosine_expr(qv, c["vec"])).alias("negsim"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        ),
+        1,
+        nprobe,
+    )
+    probes = queries.select(
+        F.col(qid).alias("query_id"), F.col(vec_col).alias("qv")
+    ).select(
         "query_id",
         "qv",
-        F.col("centroid_id").alias("bucket"),
-        cosine_expr(F.col("qv"), F.col("centroid")).alias("__sim"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("bucket"))
-    probes = (
-        q_scored.withColumn("__rk", F.row_number().over(wq))
-        .filter(F.col("__rk") <= nprobe)
-        .select("query_id", "qv", "bucket")
+        F.explode(F.transform(probes_arr, lambda x: x["cid"])).alias("bucket"),
     )
 
-    c = assigned.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket")
     scored = (
-        c.join(F.broadcast(probes), "bucket")
+        assigned.join(F.broadcast(probes), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_bucket_candidate_pairs(
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """ANN blocking for embedding dedup: vectors sharing an IVF bucket
+    become candidate pairs (id_a < id_b) — the embedding analogue of LSH
+    banding. Feed the result to
+    ``dedup.embedding_near_duplicates(pairs=...)`` for exact cosine
+    verification; the quadratic self-join collapses to per-bucket joins.
+
+    Each vector lands in exactly one bucket, so pairs are already
+    distinct. The bucket self-join shuffles on the bucket key (C
+    values); AQE skew-split covers hot buckets, same as the LSH path."""
+    assigned, _ = ivf_assign(
+        corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
+    )
+    a = assigned.select(F.col(id_col).alias("id_a"), "bucket")
+    b = assigned.select(F.col(id_col).alias("id_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
 
 
 def knn_bruteforce_pandas(

@@ -101,3 +101,52 @@ def test_exact_message_strings(images_df):
     assert msgs["validate.range"] == "Value must be in range 1 to 4096 inclusive"
     assert msgs["validate.length"] == "Value length must be less than 120 characters"
     assert msgs["literal.invalid_value"] == "Value must be one of: 'bmp', 'png', 'ppm'"
+
+
+def _zero_dim_bmp() -> bytes:
+    """Valid 1x1 BMP with the height field rewritten to 0."""
+    import struct
+
+    px = np.zeros((1, 1, 3), dtype=np.uint8)
+    data = bytearray(codecs.encode_image(px, "bmp"))
+    struct.pack_into("<i", data, 22, 0)  # DIB height := 0
+    return bytes(data)
+
+
+def _zero_dim_png() -> bytes:
+    """Valid 1x1 PNG with IHDR width rewritten to 0 (CRC refreshed)."""
+    import struct
+    import zlib
+
+    px = np.zeros((1, 1, 3), dtype=np.uint8)
+    data = bytearray(codecs.encode_image(px, "png"))
+    # IHDR payload starts at 16 (8 sig + 4 len + 4 tag)
+    struct.pack_into(">I", data, 16, 0)  # width := 0
+    crc = zlib.crc32(bytes(data[12:33])) & 0xFFFFFFFF
+    struct.pack_into(">I", data, 33, crc)
+    return bytes(data)
+
+
+def test_zero_dimension_payloads_rejected_not_crash():
+    """Regression (round-2 ADVICE): h=0 BMP / w=0 PNG previously passed
+    decode and crashed phash with IndexError, failing the Spark task."""
+    for blob in (_zero_dim_bmp(), _zero_dim_png()):
+        with pytest.raises(codecs.ImageDecodeError):
+            codecs.decode_image(blob)
+
+
+def test_malformed_payload_is_violation_not_task_failure(spark):
+    """Any exception in decode/phash must surface as an
+    image.decode_failed violation row, never abort the job."""
+    rows = [
+        ("ok_row", codecs.encode_image(np.full((4, 4, 3), 9, np.uint8), "bmp")),
+        ("zero_bmp", _zero_dim_bmp()),
+        ("zero_png", _zero_dim_png()),
+    ]
+    df = spark.createDataFrame(
+        [(i, b, 4, 4, "bmp", "cap", 0) for i, b in rows],
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash bigint",
+    )
+    report = image_payload_report(df)
+    bad = {r["image_id"] for r in report.filter("NOT decode_ok").collect()}
+    assert bad == {"zero_bmp", "zero_png"}

@@ -114,6 +114,61 @@ def test_whole_stage_codegen_covers_checks(spark, images_path):
     assert "lambdafunction" not in plan.split("== Physical Plan ==")[1].split("(1)")[0] or True
 
 
+def test_ivf_assign_is_single_scan_no_shuffle(spark):
+    """IVF bucket assignment must be a literal-array argmax over one
+    corpus scan: no Exchange, no Window, no join — the round-1 version
+    cross-joined corpus x centroids and windowed by id (an N x C
+    shuffle), which dies at 100 TB."""
+    from oblate_spark.operators.similarity import ivf_assign
+
+    corpus = spark.range(0, 500).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") % (i + 3)).cast("double") for i in range(4)]).alias("embedding"),
+    )
+    assigned, _ = ivf_assign(corpus, id_col="vec_id", vec_col="embedding", n_centroids=4)
+    plan = plan_of(assigned)
+    phys = plan.split("== Physical Plan ==")[1]
+    assert "Exchange" not in phys, plan[:2000]
+    assert "Window" not in phys, plan[:2000]
+    assert "Join" not in phys, plan[:2000]
+
+
+def test_ivf_centroid_seed_avoids_global_sort(spark):
+    """Centroid seeding must plan as TakeOrderedAndProject (per-partition
+    top-n), never a global single-partition Sort of the corpus."""
+    from oblate_spark.operators.similarity import _centroids_from_corpus
+
+    corpus = spark.range(0, 500).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.col("id").cast("double")).alias("embedding"),
+    )
+    cents = _centroids_from_corpus(corpus, "vec_id", "embedding", 4)
+    plan = plan_of(cents)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_knn_ivf_broadcasts_probes_and_matches_bruteforce(spark):
+    """Probe join must broadcast the tiny (query, bucket) side; and at
+    nprobe = n_centroids the IVF result must equal exact brute force."""
+    from oblate_spark.operators.similarity import knn_bruteforce, knn_ivf
+
+    corpus = spark.range(0, 300).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[((F.col("id") * (i + 7)) % 13).cast("double") + 0.5 for i in range(6)]
+        ).alias("embedding"),
+    )
+    q = corpus.filter(F.col("vec_id") < 2)
+    ivf = knn_ivf(corpus, q, id_col="vec_id", vec_col="embedding", k=5,
+                  n_centroids=4, nprobe=4)
+    plan = plan_of(ivf)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    bf = knn_bruteforce(corpus, q, id_col="vec_id", vec_col="embedding", k=5)
+    got = sorted(tuple(r) for r in ivf.select("query_id", "neighbor_id", "rank").collect())
+    want = sorted(tuple(r) for r in bf.select("query_id", "neighbor_id", "rank").collect())
+    assert got == want
+
+
 def test_bucketed_join_has_no_exchange(spark):
     """Same-bucketed tables join with zero shuffle (co-location).
     Broadcast is disabled for the test because the toy tables are small
