@@ -161,34 +161,32 @@ def q_histogram_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.select(F.col("bin").cast("bigint").alias("bin"), F.col("cnt").cast("bigint").alias("cnt"))
 
 
-def q_psi_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from oblate_spark.operators.drift import psi
+def _drift_stats(spark: SparkSession, sf_dir: str) -> dict:
+    """PSI and KS from ONE scan of lineitem (single-pass composite-bin
+    aggregation; round 1 scanned the fact table twice per statistic)."""
+    from oblate_spark.operators.drift import drift_statistics_flagged
 
     li = _read(spark, sf_dir, "lineitem")
-    val = psi(
-        li.filter("l_returnflag = 'A'"),
-        li.filter("l_returnflag = 'N'"),
+    return drift_statistics_flagged(
+        li,
         col="l_extendedprice",
+        expected_cond=F.col("l_returnflag") == "A",
+        actual_cond=F.col("l_returnflag") == "N",
         lo=PRICE_LO,
         hi=PRICE_HI,
-        nbins=PSI_BINS,
+        nbins_psi=PSI_BINS,
+        nbins_ks=KS_BINS,
         eps=PSI_EPS,
     )
+
+
+def q_psi_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    val = _drift_stats(spark, sf_dir)["psi"]
     return spark.createDataFrame([(float(f"{val:.6f}"),)], "psi double")
 
 
 def q_ks_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from oblate_spark.operators.drift import ks_statistic
-
-    li = _read(spark, sf_dir, "lineitem")
-    val = ks_statistic(
-        li.filter("l_returnflag = 'A'"),
-        li.filter("l_returnflag = 'N'"),
-        col="l_extendedprice",
-        lo=PRICE_LO,
-        hi=PRICE_HI,
-        nbins=KS_BINS,
-    )
+    val = _drift_stats(spark, sf_dir)["ks"]
     return spark.createDataFrame([(float(f"{val:.6f}"),)], "ks double")
 
 

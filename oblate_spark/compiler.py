@@ -203,7 +203,8 @@ def _compile_field(
                     ).otherwise(F.lit(None).cast(CHECK_DDL))
                 ]
                 raw_view = src
-                return _assemble(fld, src, key, loaded, type_structs, None, raw_view, value_repr), loaded
+                checks = _assemble(fld, src, key, loaded, type_structs, None, raw_view, value_repr)
+                return checks, _fill_default(fld, loaded)
             raise SchemaCompileError(
                 f"column {key!r} has type {src_dtype.simpleString()}, "
                 f"field {type(fld).__name__} expects {fld.spark_type()}"
@@ -218,18 +219,22 @@ def _compile_field(
         raw_view = src
 
     checks = _assemble(fld, src, key, loaded, type_structs, kernel_checks, raw_view, value_repr)
+    return checks, _fill_default(fld, loaded)
 
-    # default fill: the reference applies defaults only to *missing* keys
-    # (oblate/schema.py:204-206); ``null_is_missing`` maps SQL NULL onto
-    # that path. Without it, NULL means "explicit None" and the none-check
-    # governs — no default fill.
+
+def _fill_default(fld: Field, loaded: Column) -> Column:
+    """Default fill: the reference applies defaults only to *missing*
+    keys (oblate/schema.py:204-206); ``null_is_missing`` maps SQL NULL
+    onto that path. Without it, NULL means "explicit None" and the
+    none-check governs — no default fill. Shared by every branch of
+    ``_compile_field`` (the non-strict coercion early-return previously
+    skipped it)."""
     from .fields import MISSING
 
     if fld.default is not MISSING and fld.null_is_missing:
         default_expr = fld.default if isinstance(fld.default, Column) else F.lit(fld.default)
-        loaded = F.coalesce(loaded, default_expr)
-
-    return checks, loaded
+        return F.coalesce(loaded, default_expr)
+    return loaded
 
 
 def _assemble(

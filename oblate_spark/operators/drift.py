@@ -31,6 +31,8 @@ __all__ = [
     "fixed_width_histogram",
     "psi",
     "ks_statistic",
+    "drift_statistics",
+    "drift_statistics_flagged",
     "drift_report",
     "tdigest_quantiles",
 ]
@@ -105,6 +107,98 @@ def ks_statistic(
     return float(np.max(np.abs(np.cumsum(pe) - np.cumsum(pa))))
 
 
+def _drift_from_tagged(
+    tagged: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins_psi: int,
+    nbins_ks: int,
+    eps: float,
+) -> dict:
+    """Both drift statistics from ONE aggregation over a side-tagged
+    frame (``__side``: False = expected, True = actual, NULL = neither).
+
+    Each row contributes its coarse (PSI) and fine (KS) bin id in the
+    same projection, so the group key is the composite (bin_psi,
+    bin_ks) — at most ~nbins_ks + nbins_psi groups (fine bins nest in
+    coarse ones up to FP boundary rounding, which the composite key
+    handles exactly). Map-side combinable; the collect is <= a few
+    hundred rows regardless of table size. Binning per statistic is the
+    direct formula — bit-identical to the separate-histogram path and to
+    the DuckDB oracle."""
+    c = F.col(col)
+    rows = (
+        tagged.filter(c.isNotNull() & F.col("__side").isNotNull())
+        .select(
+            bin_expr(c, lo, hi, nbins_psi).alias("bp"),
+            bin_expr(c, lo, hi, nbins_ks).alias("bk"),
+            "__side",
+        )
+        .groupBy("bp", "bk")
+        .agg(
+            F.count(F.when(~F.col("__side"), F.lit(1))).alias("ce"),
+            F.count(F.when(F.col("__side"), F.lit(1))).alias("ca"),
+        )
+        .collect()
+    )
+    he, ha = np.zeros(nbins_psi), np.zeros(nbins_psi)
+    ke, ka = np.zeros(nbins_ks), np.zeros(nbins_ks)
+    for r in rows:
+        he[int(r["bp"])] += r["ce"]
+        ha[int(r["bp"])] += r["ca"]
+        ke[int(r["bk"])] += r["ce"]
+        ka[int(r["bk"])] += r["ca"]
+    pe = np.clip(he / he.sum() if he.sum() > 0 else he, eps, None)
+    pa = np.clip(ha / ha.sum() if ha.sum() > 0 else ha, eps, None)
+    psi_val = float(np.sum((pa - pe) * np.log(pa / pe)))
+    qe = ke / ke.sum() if ke.sum() > 0 else ke
+    qa = ka / ka.sum() if ka.sum() > 0 else ka
+    ks_val = float(np.max(np.abs(np.cumsum(qe) - np.cumsum(qa))))
+    return {"psi": psi_val, "ks": ks_val}
+
+
+def drift_statistics(
+    expected: DataFrame,
+    actual: DataFrame,
+    *,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins_psi: int = 32,
+    nbins_ks: int = 256,
+    eps: float = 1e-6,
+) -> dict:
+    """PSI and KS together in a single job (tag-union of the two sides +
+    one combined aggregation) — replaces four independent histogram
+    scans with one pass per side."""
+    tagged = expected.select(F.col(col), F.lit(False).alias("__side")).unionByName(
+        actual.select(F.col(col), F.lit(True).alias("__side"))
+    )
+    return _drift_from_tagged(tagged, col, lo, hi, nbins_psi, nbins_ks, eps)
+
+
+def drift_statistics_flagged(
+    df: DataFrame,
+    *,
+    col: str,
+    expected_cond,
+    actual_cond,
+    lo: float,
+    hi: float,
+    nbins_psi: int = 32,
+    nbins_ks: int = 256,
+    eps: float = 1e-6,
+) -> dict:
+    """The common drift pattern — both populations live in ONE table,
+    distinguished by a predicate (this week vs last week, cohort A vs
+    B). One single scan of the fact table computes PSI and KS for both
+    sides; rows matching neither predicate are ignored."""
+    side = F.when(actual_cond, F.lit(True)).when(expected_cond, F.lit(False))
+    tagged = df.select(F.col(col), side.alias("__side"))
+    return _drift_from_tagged(tagged, col, lo, hi, nbins_psi, nbins_ks, eps)
+
+
 def drift_report(
     expected: DataFrame,
     actual: DataFrame,
@@ -116,8 +210,11 @@ def drift_report(
     psi_threshold: float = 0.25,
     ks_threshold: float = 0.2,
 ) -> dict:
-    p = psi(expected, actual, col=col, lo=lo, hi=hi, nbins=nbins)
-    k = ks_statistic(expected, actual, col=col, lo=lo, hi=hi, nbins=max(nbins, 128))
+    stats = drift_statistics(
+        expected, actual, col=col, lo=lo, hi=hi,
+        nbins_psi=nbins, nbins_ks=max(nbins, 128),
+    )
+    p, k = stats["psi"], stats["ks"]
     return {
         "column": col,
         "psi": p,
@@ -276,8 +373,11 @@ def image_table_drift_report(
     per side; at real scale any nbins is fine."""
     ref_len = reference.select(F.length(caption_col).cast("double").alias("__len"))
     cur_len = current.select(F.length(caption_col).cast("double").alias("__len"))
-    cap_psi = psi(ref_len, cur_len, col="__len", lo=0.0, hi=max_caption_len, nbins=nbins)
-    cap_ks = ks_statistic(ref_len, cur_len, col="__len", lo=0.0, hi=max_caption_len, nbins=128)
+    cap = drift_statistics(
+        ref_len, cur_len, col="__len", lo=0.0, hi=max_caption_len,
+        nbins_psi=nbins, nbins_ks=128,
+    )
+    cap_psi, cap_ks = cap["psi"], cap["ks"]
     fmt_psi = categorical_psi(reference, current, col=fmt_col)
     return {
         "caption_len_psi": cap_psi,

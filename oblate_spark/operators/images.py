@@ -28,7 +28,13 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..errors import ErrorCode
 
-__all__ = ["image_payload_report", "image_payload_violations", "IMAGE_REPORT_SCHEMA"]
+__all__ = [
+    "image_payload_report",
+    "image_payload_violations",
+    "validate_image_table",
+    "release_report",
+    "IMAGE_REPORT_SCHEMA",
+]
 
 #: declared metadata keeps its ORIGINAL column names so the generic
 #: row-level Schema plan can run directly on the report; the kernel adds
@@ -325,7 +331,22 @@ def validate_image_table(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    # cache-lifetime contract: with materialize='cache' the report stays
+    # cached so every branch of the returned (lazy) union reuses it; it
+    # is exposed here so long-lived sessions can release it after
+    # consuming the result (see release_report()).
+    out._oblate_cached_report = report if (check_payload and materialize == "cache") else None
     return out
+
+
+def release_report(validation_result: DataFrame) -> None:
+    """Unpersist the payload report cached by ``validate_image_table``
+    (no-op for checkpointed or payload-less runs). Call after the
+    violations DataFrame has been consumed — in a long-lived session the
+    cached report otherwise pins executor storage memory."""
+    rep = getattr(validation_result, "_oblate_cached_report", None)
+    if rep is not None:
+        rep.unpersist()
 
 
 def image_payload_report_from_files(

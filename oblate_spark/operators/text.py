@@ -121,12 +121,18 @@ def fingerprint(
     selection without the rolling window)."""
     from .dedup import shingles
 
+    from pyspark.sql import Window
+
     sh = shingles(df, id_col=id_col, text_col=text_col, k=shingle_len)
     hashed = sh.select(F.col(id_col), F.md5(F.col("shingle")).alias("sh"))
-    bottom = (
-        hashed.groupBy(id_col)
-        .agg(F.slice(F.array_sort(F.collect_set("sh")), 1, k).alias("bk"))
-    )
+    # pre-rank to bottom-k BEFORE collecting: the aggregation buffer is
+    # bounded at k elements per doc instead of every distinct shingle
+    # hash (a 100 KB doc would otherwise buffer ~100k-element arrays).
+    # shingles() is distinct per doc, so row_number == distinct rank;
+    # the groupBy reuses the window's hash partitioning (no 2nd shuffle).
+    w = Window.partitionBy(id_col).orderBy("sh")
+    ranked = hashed.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= k)
+    bottom = ranked.groupBy(id_col).agg(F.array_sort(F.collect_list("sh")).alias("bk"))
     return bottom.select(
         F.col(id_col), F.md5(F.array_join(F.col("bk"), ",")).alias("fingerprint")
     )

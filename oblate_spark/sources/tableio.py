@@ -96,7 +96,11 @@ class SnapshotTable:
         simply 'never publish').
         """
         manifest = self._read_manifest()
-        new_id = (manifest["current"] or 0) + 1
+        # ids must be allocated past EVERY known snapshot, not current+1:
+        # after rollback() to an older snapshot, current+1 would reuse a
+        # live id, overwrite its snap-dir and corrupt time travel. The
+        # parent stays the rolled-back current (Iceberg lineage shape).
+        new_id = max((s["id"] for s in manifest["snapshots"]), default=0) + 1
         snap_dir = self._snap_dir(new_id)
         df.write.mode("overwrite").parquet(snap_dir)  # audit target
         manifest["snapshots"].append(

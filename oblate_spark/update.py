@@ -46,15 +46,27 @@ def merge_upsert(current: DataFrame, changes: DataFrame, key: str) -> DataFrame:
     ``changes`` plus all ``changes`` rows (update-or-insert). Partial
     change-set (a column subset): existing rows get the provided columns
     replaced, other columns kept; keys absent from ``current`` cannot be
-    inserted from a partial row and are rejected.
+    inserted from a partial row — they raise ``KeyError`` (an eager,
+    key-column-pruned existence check; silently dropping validated
+    change rows would be data loss).
 
-    Either way the change-set side is broadcast — the big table is never
-    shuffled."""
+    Either way the change-set side is broadcast in the merge — the big
+    table is never shuffled for the merge itself."""
     if set(changes.columns) == set(current.columns):
         changes = changes.select(*current.columns)
         keys = changes.select(key).distinct()
         untouched = current.join(F.broadcast(keys), on=key, how="left_anti")
         return untouched.unionByName(changes)
+
+    missing = (
+        changes.select(key).distinct().join(current.select(key), on=key, how="left_anti")
+    )
+    sample = [r[0] for r in missing.limit(10).collect()]
+    if sample:
+        raise KeyError(
+            f"partial change-set references {key} values absent from the "
+            f"current table (cannot insert from a column subset): {sample}"
+        )
 
     update_cols = [c for c in changes.columns if c != key]
     renamed = changes.select(

@@ -169,6 +169,22 @@ def test_knn_ivf_broadcasts_probes_and_matches_bruteforce(spark):
     assert got == want
 
 
+def test_fingerprint_topk_is_bounded_before_collect(spark):
+    """The bottom-k fingerprint must pre-rank (WindowGroupLimit pushes
+    the k-limit map-side) instead of collect_set-ing every distinct
+    shingle hash per doc — unbounded agg buffers for huge docs."""
+    from oblate_spark.operators.text import fingerprint
+
+    df = spark.range(0, 50).selectExpr(
+        "cast(id as string) AS doc_id",
+        "repeat(concat('text body ', cast(id as string), ' '), 20) AS text",
+    )
+    fp = fingerprint(df, id_col="doc_id", text_col="text", k=4)
+    plan = plan_of(fp)
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    assert "collect_set" not in plan, plan[:2000]
+
+
 def test_bucketed_join_has_no_exchange(spark):
     """Same-bucketed tables join with zero shuffle (co-location).
     Broadcast is disabled for the test because the toy tables are small

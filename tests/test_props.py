@@ -66,6 +66,21 @@ def test_default_fill(spark):
     assert out["1"]["f"] == "v" and out["1"]["g"] == 5
 
 
+def test_default_fill_on_nonstrict_coercion_path(spark):
+    """Regression (round-2 ADVICE): the non-strict string-column
+    coercion branch returned early and skipped the default fill."""
+    class S(Schema):
+        g = fields.Integer(strict=False, null_is_missing=True, default=7)
+
+    df = typed_df(spark, "row_id string, g string", [("0", None), ("1", "5")])
+    res = S.validate(df)
+    assert violations_map(res) == {}
+    out = {r["row_id"]: r["g"] for r in res.annotated.select(
+        "row_id", res.plan.loaded["g"].alias("g")
+    ).collect()}
+    assert out == {"0": 7, "1": 5}
+
+
 def test_default_missing_column(spark):
     class S(Schema):
         f = fields.String()

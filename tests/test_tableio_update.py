@@ -133,3 +133,32 @@ def test_resumable_image_validation(spark, tmp_path):
     total_rows = sum(g["metrics"]["rows"] for g in manifest["groups"].values())
     assert total_rows == 200
     assert all("by_code" in g["metrics"] for g in manifest["groups"].values())
+
+
+def test_write_after_rollback_does_not_reuse_ids(spark, tmp_path):
+    """Regression (round-2 ADVICE): current+1 after rollback() reused a
+    live snapshot id, overwrote its data dir and corrupted time travel."""
+    t = make_table(spark, tmp_path)  # snapshot 1
+    df2 = spark.createDataFrame([(3, "carol", 70)], "id long, name string, score long")
+    t.write(t.read().unionByName(df2))  # snapshot 2 (3 rows)
+    t.rollback(1)
+    sid3 = t.write(t.read())  # must allocate 3, not overwrite 2
+    assert sid3 == 3
+    assert t.read(snapshot_id=2).count() == 3  # snapshot 2 history intact
+    assert [s.snapshot_id for s in t.snapshots()] == [1, 2, 3]
+    assert t.snapshots()[-1].parent_id == 1  # lineage from the rollback point
+
+
+def test_partial_changeset_unknown_key_raises(spark, tmp_path):
+    """Regression (round-2 ADVICE): partial change-set rows whose key is
+    absent from current were silently dropped from the merge."""
+    from oblate_spark.update import merge_upsert
+
+    t = make_table(spark, tmp_path)
+    changes = spark.createDataFrame([(2, 99), (42, 10)], "id long, score long")
+    with pytest.raises(KeyError, match="42"):
+        merge_upsert(t.read(), changes, "id")
+    # known-key partial change-set still merges
+    ok = spark.createDataFrame([(2, 99)], "id long, score long")
+    merged = merge_upsert(t.read(), ok, "id")
+    assert {(r["id"], r["score"]) for r in merged.collect()} == {(1, 50), (2, 99)}
