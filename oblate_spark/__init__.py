@@ -24,7 +24,7 @@ Quick start::
 
 from . import fields, validate
 from .engine import ValidationResult, raw_from_violations, validate as validate_df
-from .errors import ErrorCode
+from .errors import ErrorCode, ErrorContext, FieldNotSet
 from .fields import MISSING
 from .schema import GlobalConfig, Schema, SchemaConfig, config
 from .typecheck import TypeValidationError, validate_types
@@ -44,5 +44,7 @@ __all__ = [
     "TypeValidationError",
     "ValidationResult",
     "ErrorCode",
+    "ErrorContext",
+    "FieldNotSet",
     "MISSING",
 ]

@@ -125,6 +125,43 @@ def _make_kernel_udf(fld: Field):
     return pandas_udf(kern, KERNEL_DDL)
 
 
+def _override_message(fld: Field, code: str, default_msg, value_repr: Column) -> Column:
+    """Probe the field's ``format_error`` for ``code`` at compile time;
+    a non-None result (str or Column) replaces the default message —
+    reference dispatch semantics (oblate/fields/base.py:236-264) with
+    zero per-row cost."""
+    from .errors import ErrorContext
+
+    res = fld.format_error(code, ErrorContext(code, fld, value_repr))
+    if res is None:
+        return F.lit(default_msg) if isinstance(default_msg, str) else default_msg
+    return F.lit(res) if isinstance(res, str) else res
+
+
+def _rewrite_error_struct(fld: Field, err: Column, value_repr: Column) -> Column:
+    """Apply ``format_error`` overrides to a struct<code,message>-or-NULL
+    column whose code is only known at runtime: probe every registered
+    code once at compile time and build a CASE over the customized ones.
+    No override -> the struct passes through untouched."""
+    from .errors import ErrorContext, all_error_codes
+
+    overrides: dict[str, Column] = {}
+    for code in all_error_codes():
+        res = fld.format_error(code, ErrorContext(code, fld, value_repr))
+        if res is not None:
+            overrides[code] = F.lit(res) if isinstance(res, str) else res
+    if not overrides:
+        return err
+    code_col = err.getField("code")
+    expr = None
+    for c, m in overrides.items():
+        expr = F.when(code_col == c, m) if expr is None else expr.when(code_col == c, m)
+    new_msg = expr.otherwise(err.getField("message"))
+    return F.when(
+        err.isNotNull(), F.struct(code_col.alias("code"), new_msg.alias("message"))
+    ).otherwise(F.lit(None).cast("struct<code:string,message:string>"))
+
+
 def _validator_checks(fld: Field, col: Column, key: str, value_repr: Column, *, raw: bool) -> list[Column]:
     """Each validator becomes a single-element-or-empty ARRAY column
     (never a nullable struct + filter): higher-order functions like
@@ -133,8 +170,11 @@ def _validator_checks(fld: Field, col: Column, key: str, value_repr: Column, *, 
     out = []
     for v in fld.walk_validators(raw=raw):
         msg = v.build(col, fld)
+        # format_error may replace the DISPLAYED message; the pass/fail
+        # signal stays msg.isNotNull() from the validator itself
+        shown = _override_message(fld, v.code, msg, value_repr)
         out.append(
-            F.when(msg.isNotNull(), F.array(_check(key, v.code, msg, value_repr))).otherwise(
+            F.when(msg.isNotNull(), F.array(_check(key, v.code, shown, value_repr))).otherwise(
                 _empty_checks()
             )
         )
@@ -156,10 +196,11 @@ def _compile_field(
     if staged:
         sl = fld.staged_load(src)
         loaded = sl.loaded
+        terr = _rewrite_error_struct(fld, sl.type_error, value_repr)
         type_structs = [
             F.when(
-                sl.type_error.isNotNull(),
-                _check(key, sl.type_error.getField("code"), sl.type_error.getField("message"), value_repr),
+                terr.isNotNull(),
+                _check(key, terr.getField("code"), terr.getField("message"), value_repr),
             ).otherwise(F.lit(None).cast(CHECK_DDL))
         ]
         needs_kernel = isinstance(fld, Object) or (
@@ -192,11 +233,22 @@ def _compile_field(
                 # non-strict coercion from a string-typed column: try_cast,
                 # NULL result on a non-NULL source = coercion failure
                 loaded = src.try_cast(target)
-                kind = type(fld).__name__.lower()
+                # nearest base with a registered coercion code — a user
+                # subclass (format_error overrides etc.) must keep its
+                # parent's code and message kind
+                kind = next(
+                    (
+                        k.__name__.lower()
+                        for k in type(fld).__mro__
+                        if hasattr(ErrorCode, f"{k.__name__.upper()}_COERCION_FAILED")
+                    ),
+                    type(fld).__name__.lower(),
+                )
                 msg = F.concat(
                     F.lit("Failed to coerce '"), src, F.lit(f"' to {kind}")
                 )
                 code = getattr(ErrorCode, f"{kind.upper()}_COERCION_FAILED", ErrorCode.VALIDATION_FAILED)
+                msg = _override_message(fld, code, msg, value_repr)
                 type_structs = [
                     F.when(
                         src.isNotNull() & loaded.isNull(), _check(key, code, msg, value_repr)
@@ -210,12 +262,14 @@ def _compile_field(
                 f"field {type(fld).__name__} expects {fld.spark_type()}"
             )
         loaded = fld.typed_load(src)
-        type_structs = [
-            F.when(t.isNotNull(), _check(key, t.getField("code"), t.getField("message"), value_repr)).otherwise(
-                F.lit(None).cast(CHECK_DDL)
+        type_structs = []
+        for t in fld.typed_checks(src, src_dtype):
+            t = _rewrite_error_struct(fld, t, value_repr)
+            type_structs.append(
+                F.when(
+                    t.isNotNull(), _check(key, t.getField("code"), t.getField("message"), value_repr)
+                ).otherwise(F.lit(None).cast(CHECK_DDL))
             )
-            for t in fld.typed_checks(src)
-        ]
         raw_view = src
 
     checks = _assemble(fld, src, key, loaded, type_structs, kernel_checks, raw_view, value_repr)
@@ -278,10 +332,22 @@ def _assemble(
 
     null_repr = F.lit("None")
     none_err = F.array(
-        _check(key, ErrorCode.NONE_DISALLOWED, "This field must not be None.", null_repr)
+        _check(
+            key,
+            ErrorCode.NONE_DISALLOWED,
+            _override_message(fld, ErrorCode.NONE_DISALLOWED, "This field must not be None.", null_repr),
+            null_repr,
+        )
     )
     required_err = F.array(
-        _check(key, ErrorCode.FIELD_REQUIRED, "This field is required.", F.lit(None).cast("string"))
+        _check(
+            key,
+            ErrorCode.FIELD_REQUIRED,
+            _override_message(
+                fld, ErrorCode.FIELD_REQUIRED, "This field is required.", F.lit(None).cast("string")
+            ),
+            F.lit(None).cast("string"),
+        )
     )
 
     if fld.null_is_missing:
@@ -364,7 +430,17 @@ def compile_plan(
                 plan.schema_violations.append((key, ErrorCode.FIELD_REQUIRED, "This field is required."))
                 plan.check_arrays.append(
                     F.array(
-                        _check(key, ErrorCode.FIELD_REQUIRED, "This field is required.", F.lit(None).cast("string"))
+                        _check(
+                            key,
+                            ErrorCode.FIELD_REQUIRED,
+                            _override_message(
+                                fld,
+                                ErrorCode.FIELD_REQUIRED,
+                                "This field is required.",
+                                F.lit(None).cast("string"),
+                            ),
+                            F.lit(None).cast("string"),
+                        )
                     )
                 )
             continue

@@ -34,6 +34,10 @@ from .compiler import CompiledPlan, compile_plan
 
 __all__ = ["ValidationResult", "validate", "raw_from_violations"]
 
+#: local MISSING sentinel for get_value_for's default (the reference's
+#: MISSING, oblate/utils.py:41-54)
+_MISSING_SENTINEL = object()
+
 
 def _resolve_row_id(df: DataFrame, row_id: Optional[str]) -> Column:
     if row_id is not None:
@@ -115,11 +119,50 @@ class ValidationResult:
         """Driver-side roll-up ``{row_id: {field_key: [msg, ...]}}`` with
         nested dicts for dotted Object paths — parity with
         ``ValidationError.raw()`` (oblate/exceptions.py:271-294).
-        Collects: test/debug use only."""
+        Collects: test/debug use only. ``config.violation_formatter``
+        (a callable taking the violation row as a dict, returning the
+        display string) customizes every message in the report — the
+        engine's pluggable-error-formatter hook (reference
+        configs.py:113-125)."""
+        from .schema import config
+
+        fmt = config.violation_formatter
         rows = self.violations.collect()
-        return raw_from_violations(
-            [(r["row_id"], r["field_key"], r["message"]) for r in rows]
+        if fmt is not None:
+            triples = [
+                (r["row_id"], r["field_key"], fmt(r.asDict())) for r in rows
+            ]
+        else:
+            triples = [(r["row_id"], r["field_key"], r["message"]) for r in rows]
+        return raw_from_violations(triples)
+
+    def get_value_for(self, row_id: str, field_name: str, default: Any = _MISSING_SENTINEL):
+        """Point lookup of one field's loaded value for one row —
+        reference ``Schema.get_value_for`` (oblate/schema.py:352-383).
+        ``field_name`` may be the attribute name or the load_key.
+        Raises RuntimeError for an unknown field, ``FieldNotSet`` when
+        the field has no value in this run (column absent, no default)
+        unless ``default`` is given, KeyError for an unknown row_id."""
+        from .errors import FieldNotSet
+
+        cls = self.plan.schema_cls
+        fld = cls.__fields__.get(field_name) or cls.__load_fields__.get(field_name)
+        if fld is None:
+            raise RuntimeError(f"Invalid field name {field_name!r}")
+        key = fld.load_key
+        if key not in self.plan.loaded:
+            if default is not _MISSING_SENTINEL:
+                return default
+            raise FieldNotSet(fld, cls, field_name)
+        rows = (
+            self.annotated.filter(F.col("_row_id") == str(row_id))
+            .select(self.plan.loaded[key].alias("v"))
+            .limit(1)
+            .collect()
         )
+        if not rows:
+            raise KeyError(f"row_id {row_id!r} not found")
+        return rows[0]["v"]
 
 
 def raw_from_violations(rows: list[tuple[str, str, str]]) -> dict:

@@ -27,6 +27,9 @@ __all__ = [
     "VIOLATION_COLUMNS",
     "default_message",
     "py_repr",
+    "all_error_codes",
+    "ErrorContext",
+    "FieldNotSet",
 ]
 
 
@@ -131,3 +134,45 @@ VIOLATION_COLUMNS = [
     "value_repr",
     "partition_id",
 ]
+
+
+def all_error_codes() -> list[str]:
+    """Every registered code string (used to probe ``format_error``
+    overrides at plan-compile time)."""
+    return sorted(
+        v for k, v in vars(ErrorCode).items()
+        if not k.startswith("_") and isinstance(v, str)
+    )
+
+
+class ErrorContext:
+    """Context passed to ``Field.format_error`` overrides — the
+    compile-time analogue of the reference's ErrorContext
+    (oblate/contexts.py:42-238). ``get_value()`` returns a Column (the
+    value's string repr) usable inside message expressions; per-row
+    Python never runs."""
+
+    __slots__ = ("error_code", "field", "value", "schema", "metadata")
+
+    def __init__(self, error_code: str, field: Any, value: Any, schema: Any = None,
+                 metadata: Any = None) -> None:
+        self.error_code = error_code
+        self.field = field
+        self.value = value
+        self.schema = schema
+        self.metadata = metadata or {}
+
+    def get_value(self):
+        return self.value
+
+
+class FieldNotSet(AttributeError):
+    """Access to a field that has no value set (reference
+    oblate/exceptions.py:45-72) — distinct from SQL NULL, which is a
+    *set* value of None. Inherits AttributeError like the reference."""
+
+    def __init__(self, field: Any, schema: Any, field_name: str) -> None:
+        self.field_name = field_name
+        self.field = field
+        self.schema = schema
+        super().__init__(f"Field {field.name!r} has no value set")

@@ -174,6 +174,7 @@ class Field:
         validators: Sequence[Validator] = (),
         null_is_missing: bool = False,
         name: Optional[str] = None,
+        format_error: Optional[Callable[[str, Any], Any]] = None,
     ) -> None:
         if data_key is not None:
             if load_key is not None or dump_key is not None:
@@ -188,7 +189,7 @@ class Field:
         self.validators: list[Validator] = list(validators)
         self.null_is_missing = null_is_missing
         self._name: Optional[str] = name
-        self._format_error: Optional[Callable[[str, Any], Optional[str]]] = None
+        self._format_error: Optional[Callable[[str, Any], Any]] = format_error
 
     # -- naming -------------------------------------------------------------
     def _bind(self, name: str) -> None:
@@ -251,9 +252,12 @@ class Field:
             return isinstance(dt, (T.FloatType, T.DoubleType))
         return dt.__class__ is expected.__class__ or dt == expected
 
-    def typed_checks(self, col: Column) -> list[Column]:
+    def typed_checks(self, col: Column, dt: Optional[T.DataType] = None) -> list[Column]:
         """Runtime checks in typed mode: list of struct<code,message>-or-NULL
-        columns (beyond null semantics + validators, which the compiler owns)."""
+        columns (beyond null semantics + validators, which the compiler
+        owns). ``dt`` is the column's actual Spark type when known —
+        Union/Tuple use it to pick between static conformance and
+        try_cast token checks."""
         return []
 
     def typed_load(self, col: Column) -> Column:
@@ -277,6 +281,20 @@ class Field:
         if staged:
             return json_value_repr(src)
         return src.cast("string")
+
+    def format_error(self, error_code: str, context: Any) -> Any:
+        """Per-field message customization (reference
+        oblate/fields/base.py:236-264,413-436): return a ``str`` or a
+        ``Column`` expression to replace the default message for
+        ``error_code``; return ``None`` to fall back to the default.
+        Override in a subclass, or pass ``format_error=`` to the
+        constructor. The compiler probes every registered error code at
+        plan-compile time, so customization costs nothing per row —
+        ``context.get_value()`` is a Column (the value's string repr)
+        usable inside ``F.concat``-style message expressions."""
+        if self._format_error is not None:
+            return self._format_error(error_code, context)
+        return None
 
 
 # ---------------------------------------------------------------------------
@@ -538,9 +556,6 @@ class List(_KernelField):
 
         return typing.List[self.item] if self.item is not Any else list
 
-    def typed_checks(self, col: Column) -> list[Column]:
-        return []
-
 
 class Set(_KernelField):
     """Set field (reference oblate/fields/structs.py:226-265). Physical
@@ -567,7 +582,7 @@ class Set(_KernelField):
 
         return typing.Set[self.item] if self.item is not Any else set
 
-    def typed_checks(self, col: Column) -> list[Column]:
+    def typed_checks(self, col: Column, dt: Optional[T.DataType] = None) -> list[Column]:
         if not self.enforce_distinct:
             return []
         dup = F.size(F.array_distinct(col)) != F.size(col)
@@ -622,7 +637,7 @@ class TypedDict(_KernelField):
     def type_expr(self) -> Any:
         return self.td
 
-    def typed_checks(self, col: Column) -> list[Column]:
+    def typed_checks(self, col: Column, dt: Optional[T.DataType] = None) -> list[Column]:
         from typing import get_origin, get_type_hints
 
         from .typecheck import NotRequired
@@ -644,9 +659,51 @@ class TypedDict(_KernelField):
         return checks
 
 
+_INT_DTS = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _dt_conforms(tp: Any, dt: T.DataType) -> bool:
+    """Does a column/element of Spark type ``dt`` statically satisfy the
+    Python type ``tp``? (Keeps the reference quirk isinstance(True, int):
+    boolean columns satisfy an ``int`` arm.)"""
+    if tp is int:
+        return isinstance(dt, _INT_DTS + (T.BooleanType,))
+    if tp is float:
+        return isinstance(dt, (T.FloatType, T.DoubleType))
+    if tp is bool:
+        return isinstance(dt, T.BooleanType)
+    if tp is str:
+        return isinstance(dt, T.StringType)
+    if tp is bytes:
+        return isinstance(dt, T.BinaryType)
+    return False
+
+
+def _token_ok_expr(elem: Column, tp: Any) -> Column:
+    """For string-typed cells: does the token satisfy ``tp`` under the
+    relational try_cast interpretation (SURVEY.md §1.3)?"""
+    if tp is int:
+        return elem.try_cast("bigint").isNotNull()
+    if tp is float:
+        return elem.try_cast("double").isNotNull()
+    if tp is bool:
+        return F.lower(elem).isin("true", "false")
+    if tp is str:
+        return F.lit(True)
+    return F.lit(False)
+
+
 class Tuple(_KernelField):
     """Fixed/variadic tuple over an array column (reference
-    oblate/type_validation.py:298-328)."""
+    oblate/type_validation.py:298-328).
+
+    Typed mode: length gate (too-short only — the reference silently
+    ignores extra items) plus per-index element checks. An array column
+    has ONE element type, so an index whose expected type matches it
+    statically emits no check; string elements are checked with the
+    try_cast token interpretation; a statically-incompatible element
+    type fails every present element. NULL elements are skipped
+    (relational NULL is ambiguous between absent and None)."""
 
     is_sized_container = True
 
@@ -662,21 +719,71 @@ class Tuple(_KernelField):
 
         return typing.Tuple[self.items] if self.items else tuple
 
-    def typed_checks(self, col: Column) -> list[Column]:
-        if not self.items or (len(self.items) == 2 and self.items[1] is Ellipsis):
+    def _variadic(self) -> bool:
+        return len(self.items) == 2 and self.items[1] is Ellipsis
+
+    def typed_checks(self, col: Column, dt: Optional[T.DataType] = None) -> list[Column]:
+        if not self.items:
             return []
+        elem_dt = dt.elementType if isinstance(dt, T.ArrayType) else None
+
+        if self._variadic():
+            tp = self.items[0]
+            if elem_dt is None or _dt_conforms(tp, elem_dt):
+                return []
+            if isinstance(elem_dt, T.StringType):
+                def fails(x):
+                    return x.isNotNull() & ~_token_ok_expr(x, tp)
+            else:
+                def fails(x):
+                    return x.isNotNull()
+            bad_idxs = F.filter(
+                F.transform(col, lambda x, i: F.when(fails(x), i).otherwise(F.lit(None))),
+                lambda v: v.isNotNull(),
+            )
+            msg = F.concat(
+                F.lit("Tuple item at index "),
+                F.element_at(bad_idxs, 1).cast("string"),
+                F.lit(f": Must be of type {tp.__name__}"),
+            )
+            return [
+                F.when(
+                    col.isNotNull() & (F.size(bad_idxs) > 0),
+                    _type_error(ErrorCode.TYPE_EXPR_FAILED, msg),
+                ).otherwise(_null_error())
+            ]
+
         n = len(self.items)
-        msg = F.concat(
+        lmsg = F.concat(
             F.lit(f"Tuple length must be {n} (current length: "),
             F.size(col).cast("string"),
             F.lit(")"),
         )
-        return [
+        too_short = F.size(col) < n
+        checks = [
             F.when(
-                col.isNotNull() & (F.size(col) != n),
-                _type_error(ErrorCode.TYPE_EXPR_FAILED, msg),
+                col.isNotNull() & too_short,
+                _type_error(ErrorCode.TYPE_EXPR_FAILED, lmsg),
             ).otherwise(_null_error())
         ]
+        for idx, tp in enumerate(self.items):
+            if elem_dt is not None and _dt_conforms(tp, elem_dt):
+                continue
+            elem = F.get(col, idx)  # NULL on out-of-bounds, 0-based
+            if elem_dt is not None and isinstance(elem_dt, T.StringType):
+                bad = elem.isNotNull() & ~_token_ok_expr(elem, tp)
+            else:
+                bad = elem.isNotNull()
+            checks.append(
+                F.when(
+                    col.isNotNull() & ~too_short & bad,
+                    _type_error(
+                        ErrorCode.TYPE_EXPR_FAILED,
+                        f"Tuple item at index {idx}: Must be of type {tp.__name__}",
+                    ),
+                ).otherwise(_null_error())
+            )
+        return checks
 
 
 class Any_(Field):
@@ -708,7 +815,7 @@ class Literal(Field):
             return T.LongType()
         return None  # mixed-type literal: passthrough, membership on repr
 
-    def typed_checks(self, col: Column) -> list[Column]:
+    def typed_checks(self, col: Column, dt: Optional[T.DataType] = None) -> list[Column]:
         return [
             F.when(
                 col.isNotNull() & ~col.isin(list(self.values)),
@@ -735,6 +842,13 @@ class Union(_KernelField):
 
     Staged mode with all-primitive arms compiles to a token-type
     predicate; otherwise the container kernel handles it.
+
+    Typed mode (all-primitive arms): a relational column has ONE type,
+    so a column whose Spark type matches any arm is statically
+    conformant (no runtime check emitted — every value IS that arm). A
+    string column with no ``str`` arm is checked with parallel try_casts
+    (SURVEY.md §1.3's variant encoding); any other type mismatch is a
+    compile-time SchemaCompileError. Complex arms stay staged-only.
     """
 
     _PRIMITIVE_TOKENS = {int: ("int", "bool"), str: ("string",), float: ("float",), bool: ("bool",)}
@@ -747,6 +861,35 @@ class Union(_KernelField):
 
     def all_primitive(self) -> bool:
         return all(t in self._PRIMITIVE_TOKENS for t in self.types)
+
+    def accepts_spark_type(self, dt: T.DataType) -> bool:
+        if not self.all_primitive():
+            return True  # complex arms are validated by the staged kernel
+        if any(_dt_conforms(t, dt) for t in self.types):
+            return True
+        return isinstance(dt, T.StringType)  # parallel-try_cast check path
+
+    def typed_checks(self, col: Column, dt: Optional[T.DataType] = None) -> list[Column]:
+        if not self.all_primitive() or dt is None:
+            return []
+        if any(_dt_conforms(t, dt) for t in self.types):
+            return []  # the column's type IS one of the arms
+        ok = None
+        for t in self.types:
+            e = _token_ok_expr(col, t)
+            ok = e if ok is None else (ok | e)
+        names = ", ".join(t.__name__ for t in self.types)
+        msg = F.concat(
+            F.lit("Type of '"),
+            col,
+            F.lit(f"' (str) is not compatible with types ({names})"),
+        )
+        return [
+            F.when(
+                col.isNotNull() & ~ok,
+                _type_error(ErrorCode.UNION_INVALID_VALUE, msg),
+            ).otherwise(_null_error())
+        ]
 
     @property
     def needs_kernel(self) -> bool:

@@ -47,9 +47,14 @@ class GlobalConfig:
 
     def __init__(self) -> None:
         self.warn_unsupported_types = True
-        #: pluggable violation-report formatter (reference:
-        #: config.validation_error_cls must subclass ValidationError)
+        #: pluggable violation-report formatter: callable(violation row
+        #: as dict) -> display string, applied by ValidationResult.raw()
         self.violation_formatter = None
+        #: pluggable rejection class used by engine raise sites
+        #: (update.UpdateRejected subclass required — the distributed
+        #: analogue of reference config.validation_error_cls,
+        #: oblate/configs.py:113-125)
+        self.update_rejected_cls = None
 
 
 config = GlobalConfig()
@@ -124,6 +129,14 @@ class Schema(metaclass=SchemaMeta):
         return df
 
     @classmethod
+    def __schema_post_init__(cls, result) -> None:
+        """Post-validation hook (reference oblate/schema.py:224,319-327):
+        called once on the driver with the ValidationResult after the
+        plan is built — the natural place to emit metrics or register
+        listeners. Default: no-op. NOTE: the result is lazy; calling
+        ``result.metrics()`` here triggers a job."""
+
+    @classmethod
     def validate(
         cls,
         df: DataFrame,
@@ -135,7 +148,7 @@ class Schema(metaclass=SchemaMeta):
     ):
         from .engine import validate as _validate
 
-        return _validate(
+        result = _validate(
             cls.preprocess_data(df),
             cls,
             mode=mode,
@@ -143,6 +156,8 @@ class Schema(metaclass=SchemaMeta):
             extra_columns_ok=extra_columns_ok,
             ignore_extra=ignore_extra,
         )
+        cls.__schema_post_init__(result)
+        return result
 
     @classmethod
     def spark_schema(cls):

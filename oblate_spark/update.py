@@ -117,7 +117,14 @@ def update(
     n_bad = result.violations.limit(1).count()
     if n_bad:
         n = result.violations.count()
-        raise UpdateRejected(result, n)
+        # pluggable rejection class (reference config.validation_error_cls
+        # parity, oblate/configs.py:113-125): must subclass UpdateRejected
+        from .schema import config as _config
+
+        cls = _config.update_rejected_cls or UpdateRejected
+        if not (isinstance(cls, type) and issubclass(cls, UpdateRejected)):
+            raise TypeError("config.update_rejected_cls must subclass UpdateRejected")
+        raise cls(result, n)
 
     current = table.read()
     merged = merge_upsert(current, changes, key)
