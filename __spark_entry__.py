@@ -436,10 +436,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
         "sessionization_events": q_sessionization_events,
         "events_hourly_counts": q_events_hourly_counts,
-        # rows-only (non-SQL-expressible: sketch tolerance bounds)
+        # golden-manifest oracle (closed-form literal counts)
         "image_validation": q_image_validation,
-        "tdigest_quantiles": q_tdigest_quantiles,
         "subword_count_documents": q_subword_count_documents,
+        # rows-only (non-SQL-expressible: sketch tolerance bounds)
+        "tdigest_quantiles": q_tdigest_quantiles,
     }
 
 
@@ -578,6 +579,34 @@ def _sql_ivf_assigned(source: str, n_centroids: int) -> str:
             FROM {source} s CROSS JOIN cents c)
         WHERE rk = 1)
     """
+
+
+def _sql_image_golden(n: int) -> str:
+    """Literal golden-count oracle for ``q_image_validation``: the
+    synthetic fixture injects defects at fixed index slots
+    (oblate_spark/fixtures.py defect_for_index), so the violation counts
+    by error code are closed-form. The Spark side actually decodes every
+    payload; the oracle pins the manifest."""
+    from oblate_spark.fixtures import expected_defect_counts
+
+    exp = expected_defect_counts(n)
+    rows = {
+        "field.none_disallowed": exp["caption_null"],
+        "image.decode_failed": exp["bad_bytes"],
+        "image.dims_mismatch": exp["dims_mismatch"],
+        "image.phash_mismatch": exp["stale_phash"],
+        "validate.range": exp["w_range"],
+        "validate.length": exp["caption_overlength"],
+        "literal.invalid_value": exp["bad_fmt"],
+        "image.fmt_mismatch": exp["bad_fmt"],
+        # image_id dups pair with their base row (2x); phash dups = the
+        # hot bucket plus the dup_phash slot rows
+        "unique.duplicate": 2 * exp["dup_image_id"] + exp["hot_phash"] + exp["dup_phash"],
+    }
+    return " UNION ALL ".join(
+        f"SELECT '{code}' AS error_code, {cnt}::BIGINT AS cnt"
+        for code, cnt in sorted(rows.items())
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -810,5 +839,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour_start, event_type,
                    count(*)::BIGINT AS cnt
             FROM events GROUP BY 1, 2
+        """,
+        "image_validation": _sql_image_golden(2000),
+        "subword_count_documents": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Z]?[a-z]+|[A-Z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT AS n_subwords
+            FROM documents
         """,
     }

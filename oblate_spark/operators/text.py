@@ -47,15 +47,20 @@ def token_count(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+#: BPE-ish piece pattern: word pieces (optional leading capital +
+#: lowercase run, or capital run), single digits, single punctuation.
+#: Deliberately RE2-safe (no lookarounds) so DuckDB's regexp_extract_all
+#: computes the identical tokenization — the oracle twin is exact.
+SUBWORD_PATTERN = r"[A-Z]?[a-z]+|[A-Z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
 def subword_count(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
-    """BPE-ish token estimate: split on transitions the way byte-pair
-    tokenizers tend to (word pieces + digits + punctuation as separate
-    tokens). This is the deterministic regex approximation used for
-    budget estimates when no real tokenizer is available."""
-    pieces = F.filter(
-        F.split(F.col(text_col), r"(?=[\sA-Z0-9.,;:!?()\[\]{}'\"])|(?<=[\s.,;:!?()\[\]{}'\"])"),
-        lambda t: F.length(F.trim(t)) > 0,
-    )
+    """BPE-ish token estimate: extract word pieces / digits / punctuation
+    the way byte-pair tokenizers tend to segment. This is the
+    deterministic regex approximation used for budget estimates when no
+    real tokenizer is available; every non-space character belongs to
+    exactly one piece, so n_subwords >= whitespace token count."""
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(SUBWORD_PATTERN), 0)
     return df.select(F.col(id_col), F.size(pieces).alias("n_subwords"))
 
 
