@@ -1,0 +1,116 @@
+"""Custom stateful streaming operator: gap-based sessionization via
+``applyInPandasWithState``.
+
+The batch twin is ``operators.sessions.session_stats`` (window + running
+sum); a stream cannot window-lag over unbounded input, so this keeps ONE
+tiny state row per user (session start, last event, count) and
+
+* closes a session when a new event arrives more than ``gap`` after the
+  last one (``closed_by='gap'``), or
+* closes the open session when the event-time watermark passes
+  last + gap (``closed_by='timeout'``) — so idle users emit without
+  needing another event.
+
+State is O(active users), not O(events): the operator never buffers
+events, only the 3-number summary, so it holds at any scale the shuffle
+can hash-partition the user keys. Skewed users are irrelevant — state
+size is constant per key regardless of event count.
+
+The reference library has no streaming surface; this is the Axis-B
+generalization of per-row validation state to unbounded input
+(SURVEY.md §2.7 UDF/UDAF + streaming rows).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["sessionize_stream", "SESSION_OUTPUT_SCHEMA"]
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id string, session_start timestamp, session_end timestamp, "
+    "n_events bigint, closed_by string"
+)
+_STATE_SCHEMA = "start double, last double, cnt bigint"
+
+
+def sessionize_stream(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """(streaming) -> closed sessions (user_id, session_start,
+    session_end, n_events, closed_by). Append-mode sink compatible."""
+    import pandas as pd
+
+    gap = float(gap_minutes) * 60.0
+
+    ev = (
+        events.withColumn("__ts", F.col(ts_col).cast("timestamp"))
+        .withWatermark("__ts", watermark)
+        .select(F.col(user_col).cast("string").alias("user_id"), "__ts")
+    )
+
+    def fn(key: Any, pdfs: Iterator["pd.DataFrame"], state: Any) -> Iterator["pd.DataFrame"]:
+        uid = key[0]
+
+        def rows(closed_list, reason):
+            return pd.DataFrame(
+                {
+                    "user_id": [uid] * len(closed_list),
+                    "session_start": pd.to_datetime([c[0] for c in closed_list], unit="s"),
+                    "session_end": pd.to_datetime([c[1] for c in closed_list], unit="s"),
+                    "n_events": pd.array([c[2] for c in closed_list], dtype="Int64"),
+                    "closed_by": [reason] * len(closed_list),
+                }
+            )
+
+        if state.hasTimedOut:
+            start, last, cnt = state.get
+            state.remove()
+            yield rows([(start, last, cnt)], "timeout")
+            return
+
+        ts: list[float] = []
+        for pdf in pdfs:
+            ts.extend(pdf["__ts"].astype("int64").to_numpy() / 1e9)
+        ts.sort()
+
+        if state.exists:
+            start, last, cnt = state.get
+        else:
+            start = last = None
+            cnt = 0
+
+        closed: list[tuple[float, float, int]] = []
+        for t in ts:
+            if last is None:
+                start, last, cnt = t, t, 1
+            elif t - last > gap:
+                closed.append((start, last, cnt))
+                start, last, cnt = t, t, 1
+            else:
+                last = t
+                cnt += 1
+
+        if last is not None:
+            state.update((float(start), float(last), int(cnt)))
+            # event-time timeout: fires when the watermark passes it
+            state.setTimeoutTimestamp(int((last + gap) * 1000))
+        if closed:
+            yield rows(closed, "gap")
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, functions as F
 from .engine import ValidationResult, validate
 from .sources.tableio import SnapshotTable
 
-__all__ = ["FrozenError", "UpdateRejected", "update", "merge_upsert"]
+__all__ = ["FrozenError", "UpdateRejected", "update", "merge_upsert", "set_field"]
 
 
 class FrozenError(RuntimeError):
@@ -129,3 +129,34 @@ def update(
     current = table.read()
     merged = merge_upsert(current, changes, key)
     return table.write(merged, operation="merge", properties={"key": key})
+
+
+def set_field(
+    table: SnapshotTable,
+    schema_cls: Any,
+    *,
+    key: str,
+    field: str,
+    assignments: dict,
+    mode: str = "typed",
+) -> int:
+    """Single-field eager set — the distributed form of the reference's
+    ``Field.__set__`` (oblate/fields/base.py:182-196): validators for
+    ``field`` run immediately on the new values; any violation raises
+    (config.update_rejected_cls) and nothing is committed; frozen field/
+    schema checks apply. ``assignments`` maps key value -> new value.
+
+    Compiles to a two-column change-set through the same validated
+    atomic MERGE as ``update`` (one broadcast join against the big
+    table, commit-or-nothing snapshot)."""
+    if not assignments:
+        raise ValueError("assignments must not be empty")
+    cur = table.read()
+    dtypes = dict(cur.dtypes)
+    if key not in dtypes or field not in dtypes:
+        raise RuntimeError(f"Invalid field name {field if key in dtypes else key!r}")
+    changes = table.spark.createDataFrame(
+        [(k, v) for k, v in assignments.items()],
+        f"`{key}` {dtypes[key]}, `{field}` {dtypes[field]}",
+    )
+    return update(table, changes, schema_cls, key=key, mode=mode, updated_columns=[field])

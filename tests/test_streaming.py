@@ -93,3 +93,56 @@ def test_valid_invalid_split(spark, events_source):
     n_clean = spark.sql("SELECT count(*) c FROM clean_rows").collect()[0]["c"]
     exp = EventRow.validate(batch_df, row_id="event_id").metrics()
     assert n_clean == exp["passed"]
+
+
+def test_stateful_sessionization_stream(spark, tmp_path):
+    """applyInPandasWithState custom stateful operator: state persists
+    across micro-batches (a session spanning two files is ONE session)
+    and gap-expired sessions are emitted exactly once."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from oblate_spark.streaming import sessionize_stream
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    base = "2024-01-01 10:00:00"
+    b = lambda mins: f"2024-01-01 {10 + (mins // 60):02d}:{mins % 60:02d}:00"
+    # file 1: user A two close events; user B one event
+    f1 = spark.createDataFrame(
+        [("A", b(0)), ("A", b(5)), ("B", b(1))], "user_id string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    # file 2: user A event 90min later -> closes A's first session (gap);
+    # B keeps its session open (no emission)
+    f2 = spark.createDataFrame(
+        [("A", b(95))], "user_id string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    f1.coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+    f2.coalesce(1).write.mode("overwrite").parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    out = sessionize_stream(stream, gap_minutes=30, watermark="0 seconds")
+    name = f"sess_{int(_time.time()*1000) % 10_000_000}"
+    q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+    finally:
+        q.stop()
+
+    closed = {(r["user_id"], r["n_events"], r["closed_by"]) for r in rows}
+    # A's first session (2 events) closed by the 90-min gap, exactly once
+    assert ("A", 2, "gap") in closed
+    # B's session never closed by gap; A's second session only via
+    # watermark timeout (may or may not have fired depending on final
+    # watermark advance) — assert no spurious gap-closures
+    assert not [r for r in rows if r["user_id"] == "B" and r["closed_by"] == "gap"]
+    a_gap = [r for r in rows if r["user_id"] == "A" and r["closed_by"] == "gap"]
+    assert len(a_gap) == 1
+    r = a_gap[0]
+    assert str(r["session_start"]) == "2024-01-01 10:00:00"
+    assert str(r["session_end"]) == "2024-01-01 10:05:00"

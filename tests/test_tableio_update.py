@@ -162,3 +162,31 @@ def test_partial_changeset_unknown_key_raises(spark, tmp_path):
     ok = spark.createDataFrame([(2, 99)], "id long, score long")
     merged = merge_upsert(t.read(), ok, "id")
     assert {(r["id"], r["score"]) for r in merged.collect()} == {(1, 50), (2, 99)}
+
+
+def test_set_field_single_field_eager(spark, tmp_path):
+    """U2 parity: Field.__set__-style validated single-field mutation
+    (reference oblate/fields/base.py:182-196) — eager validation,
+    atomic commit-or-nothing."""
+    from oblate_spark.update import UpdateRejected, set_field
+
+    t = make_table(spark, tmp_path)
+    sid = set_field(t, Users, key="id", field="score", assignments={1: 95, 2: 10})
+    got = {r["id"]: r["score"] for r in t.read().collect()}
+    assert got == {1: 95, 2: 10} and sid == 2
+
+    # invalid value -> eager rejection, nothing committed
+    with pytest.raises(UpdateRejected):
+        set_field(t, Users, key="id", field="score", assignments={1: 5000})
+    assert {r["id"]: r["score"] for r in t.read().collect()} == {1: 95, 2: 10}
+
+    # frozen field rejected before any job runs
+    class FrozenScore(Users):
+        score = __import__("oblate_spark").fields.Integer(frozen=True)
+
+    with pytest.raises(FrozenError):
+        set_field(t, FrozenScore, key="id", field="score", assignments={1: 1})
+
+    # unknown key in the assignment -> KeyError from the merge guard
+    with pytest.raises(KeyError):
+        set_field(t, Users, key="id", field="score", assignments={42: 1})
