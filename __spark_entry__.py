@@ -313,6 +313,20 @@ def q_jaccard_on_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: LSH candidate pairs -> connected components
+    (hash-min label propagation) -> (doc_id, cluster_id). The step
+    between "pairs found" and "keep one doc per group"."""
+    from oblate_spark.operators.dedup import duplicate_clusters, lsh_candidate_pairs
+
+    d = _read(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(
+        d, id_col="doc_id", text_col="text", k=SHINGLE_K,
+        num_hashes=NUM_HASHES, rows_per_band=ROWS_PER_BAND,
+    )
+    return duplicate_clusters(cand).select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 def q_sessionization_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oblate_spark.operators.sessions import session_stats
 
@@ -434,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_on_lsh_candidates": q_jaccard_on_lsh_candidates,
         "ivf_knn": q_ivf_knn,
         "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
+        "dup_clusters_documents": q_dup_clusters_documents,
         "sessionization_events": q_sessionization_events,
         "events_hourly_counts": q_events_hourly_counts,
         # golden-manifest oracle (closed-form literal counts)
@@ -839,6 +854,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour_start, event_type,
                    count(*)::BIGINT AS cnt
             FROM events GROUP BY 1, 2
+        """,
+        "dup_clusters_documents": f"""
+            WITH RECURSIVE bands AS ({_sql_bands()}),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+                WHERE a.doc_id < b.doc_id),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+                      UNION SELECT id_b, id_a FROM cand),
+            nodes AS (SELECT DISTINCT src AS id FROM edges),
+            walk(node, label) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+            )
+            SELECT node AS doc_id, min(label) AS cluster_id
+            FROM walk GROUP BY node
         """,
         "image_validation": _sql_image_golden(2000),
         "subword_count_documents": r"""

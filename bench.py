@@ -185,12 +185,17 @@ def main() -> None:
         df.count()
         timings[name] = round(time.time() - t0, 3)
 
-    # metered image-validation throughput at full cores (warm ALL workers)
-    from oblate_spark.operators.images import image_payload_report
-    image_payload_report(spark.read.parquet(images_path).sample(0.05, seed=1)).count()
-    t0 = time.time()
+    # metered image-validation throughput at full cores: one full
+    # untimed run pays python-worker spawn + codegen JIT (the scaling
+    # subprocesses do the same), then best-of-2 steady-state
     validate_images_job(spark, images_path)
-    full_sec = time.time() - t0
+    full_sec = None
+    for _ in range(2):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        validate_images_job(spark, images_path)
+        dt = time.time() - t0
+        full_sec = dt if full_sec is None or dt < full_sec else full_sec
     timings["image_validation"] = round(full_sec, 3)
     thr_full = N_IMAGES / full_sec
 
@@ -208,11 +213,15 @@ def main() -> None:
         lo, hi = 8, 32
         # interleaved rounds with min-per-point: the sandbox host has
         # multi-second interference bursts (identical runs vary 2-4x);
-        # the minimum is the best estimate of the true job cost
+        # the minimum is the best estimate of the true job cost. The
+        # hardware control is interleaved in the SAME rounds so engine
+        # and control see the same interference climate.
         secs = {lo: float("inf"), hi: float("inf")}
-        for _ in range(2):
+        ctl = {lo: float("inf"), hi: float("inf")}
+        for _ in range(3):
             for c in (lo, hi):
                 secs[c] = min(secs[c], run_scaling_point(c, images_path))
+                ctl[c] = min(ctl[c], mp_control_point(c, images_path))
         thr_lo, thr_hi = N_IMAGES / secs[lo], N_IMAGES / secs[hi]
         result["scaling"] = {
             "cores_lo": lo,
@@ -225,9 +234,9 @@ def main() -> None:
         }
         result["value"] = round(thr_hi, 1)
 
-        # hardware control: identical python work, no Spark
-        ctl_lo = mp_control_point(lo, images_path)
-        ctl_hi = mp_control_point(hi, images_path)
+        # hardware control: identical python work, no Spark (measured
+        # interleaved with the scaling points above)
+        ctl_lo, ctl_hi = ctl[lo], ctl[hi]
         ctl_eff = (ctl_lo / ctl_hi) / (hi / lo)
         result["hardware_control"] = {
             "sec_lo": round(ctl_lo, 3),

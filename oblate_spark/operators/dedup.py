@@ -42,6 +42,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash",
     "embedding_near_duplicates",
+    "duplicate_clusters",
+    "keep_canonical",
 ]
 
 
@@ -251,3 +253,88 @@ def embedding_near_duplicates(
     return joined.select("id_a", "id_b", cos.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over duplicate/candidate pairs: (id,
+    cluster_id) where cluster_id is the minimum member id — the step a
+    real dedup pipeline needs between "pairs found" and "keep one doc
+    per group".
+
+    Algorithm: hash-min label propagation — every node repeatedly takes
+    the min label among itself and its neighbors; converges in
+    O(component diameter) rounds (near-dup clusters are dense, diameter
+    is typically 2-3). Scale properties: the iteration runs over the
+    PAIR PARTICIPANTS only (a small fraction of the corpus); each round
+    is one join + one combinable groupBy(min); ``localCheckpoint`` cuts
+    the lineage so plans don't grow with rounds. For graphs with huge
+    diameters (paths), large-star/small-star would halve the rounds —
+    not needed for dedup blocking output.
+
+    Only ids appearing in ``pairs`` are returned (singletons are their
+    own trivial cluster by definition).
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy(edges["dst"].alias("id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.alias("l")
+            .join(nbr_min.alias("n"), "id", "left")
+            .select(
+                F.col("id"),
+                F.least(
+                    F.col("l.cluster_id"),
+                    F.coalesce(F.col("n.nbr_min"), F.col("l.cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("a")
+            .join(labels.alias("b"), "id")
+            .filter(F.col("a.cluster_id") != F.col("b.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def keep_canonical(
+    df: DataFrame,
+    clusters: DataFrame,
+    *,
+    id_col: str,
+) -> DataFrame:
+    """Deduplicated view of ``df``: drop every cluster member except the
+    canonical one (the min-id doc). Singletons (absent from
+    ``clusters``) are kept. One anti-join against the (small)
+    non-canonical member list."""
+    non_canonical = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(non_canonical, on=id_col, how="left_anti")

@@ -298,7 +298,7 @@ def knn_bruteforce_pandas(
             yield pd.DataFrame(out)
 
     scored = corpus.select(id_col, vec_col).mapInPandas(
-        score, f"query_id string, neighbor_id string, cosine double"
+        score, "query_id string, neighbor_id string, cosine double"
     )
     scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

@@ -163,3 +163,19 @@ def test_preprocess_hook(spark):
     df = spark.createDataFrame([("0", "abc")], "row_id string, f string")
     res = S.validate(df)
     assert res.annotated.select("f").collect()[0]["f"] == "ABC"
+
+
+def test_duplicate_clusters_and_keep_canonical(spark):
+    from pyspark.sql import functions as F
+    from oblate_spark.operators.dedup import duplicate_clusters, keep_canonical
+
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("d", "e"), ("f", "c")], "id_a string, id_b string"
+    )
+    cl = duplicate_clusters(pairs)
+    got = {(r["id"], r["cluster_id"]) for r in cl.collect()}
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("f", "a"), ("d", "d"), ("e", "d")}
+
+    docs = spark.createDataFrame([(x,) for x in "abcdefg"], "doc_id string")
+    kept = {r["doc_id"] for r in keep_canonical(docs, cl, id_col="doc_id").collect()}
+    assert kept == {"a", "d", "g"}  # canonical member per cluster + singleton

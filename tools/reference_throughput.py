@@ -56,14 +56,19 @@ def main() -> None:
             }
         )
 
-    t0 = time.time()
-    n_bad = 0
-    for row in rows:
-        try:
-            ImageRow(row)
-        except oblate.ValidationError:
-            n_bad += 1
-    dt = time.time() - t0
+    # best-of-2: the sandbox host has multi-second interference bursts;
+    # a single pass can understate the reference by 2x
+    dt = None
+    for _ in range(2):
+        t0 = time.time()
+        n_bad = 0
+        for row in rows:
+            try:
+                ImageRow(row)
+            except oblate.ValidationError:
+                n_bad += 1
+        d = time.time() - t0
+        dt = d if dt is None or d < dt else dt
     meta_rps = n / dt
 
     # payload work the reference WOULD have to do per row (plain python,
@@ -71,14 +76,17 @@ def main() -> None:
     from oblate_spark.functions.codecs import ImageDecodeError, decode_image, phash64
 
     payload_rows = [make_row(i, px=(64, 128)) for i in range(min(n, 5000))]  # bench-size images
-    t0 = time.time()
-    for r in payload_rows:
-        try:
-            px = decode_image(bytes(r["bytes"]))
-            phash64(px)
-        except ImageDecodeError:
-            pass
-    dt_payload = time.time() - t0
+    dt_payload = None
+    for _ in range(2):
+        t0 = time.time()
+        for r in payload_rows:
+            try:
+                px = decode_image(bytes(r["bytes"]))
+                phash64(px)
+            except ImageDecodeError:
+                pass
+        d = time.time() - t0
+        dt_payload = d if dt_payload is None or d < dt_payload else dt_payload
     payload_rps = len(payload_rows) / dt_payload
 
     combined_rps = 1.0 / (1.0 / meta_rps + 1.0 / payload_rps)
