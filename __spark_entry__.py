@@ -190,6 +190,22 @@ def q_ks_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(float(f"{val:.6f}"),)], "ks double")
 
 
+def q_categorical_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift (event-type mix) between even- and odd-user
+    cohorts — the format-mix check of the north rule, exercised on the
+    driver's events table."""
+    from oblate_spark.operators.drift import categorical_psi
+
+    ev = _read(spark, sf_dir, "events")
+    val = categorical_psi(
+        ev.filter(F.col("user_id") % 2 == 0),
+        ev.filter(F.col("user_id") % 2 == 1),
+        col="event_type",
+        eps=PSI_EPS,
+    )
+    return spark.createDataFrame([(float(f"{val:.6f}"),)], "psi double")
+
+
 def q_exact_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup demonstrated on documents ∪ documents (the base table
     has no exact dups, so the doubled table makes every doc a group of 2)."""
@@ -434,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_extendedprice": q_histogram_extendedprice,
         "psi_extendedprice": q_psi_extendedprice,
         "ks_extendedprice": q_ks_extendedprice,
+        "categorical_psi_events": q_categorical_psi_events,
         "exact_dup_documents": q_exact_dup_documents,
         "minhash_bands_documents": q_minhash_bands_documents,
         "lsh_candidates_documents": q_lsh_candidates_documents,
@@ -692,6 +709,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "psi_extendedprice": _sql_psi_ks(PSI_BINS, "psi"),
         "ks_extendedprice": _sql_psi_ks(KS_BINS, "ks"),
+        "categorical_psi_events": f"""
+            WITH e AS (SELECT event_type, count(*)::DOUBLE AS c FROM events
+                       WHERE user_id % 2 = 0 GROUP BY 1),
+            a AS (SELECT event_type, count(*)::DOUBLE AS c FROM events
+                  WHERE user_id % 2 = 1 GROUP BY 1),
+            cats AS (SELECT event_type FROM e UNION SELECT event_type FROM a),
+            p AS (SELECT cats.event_type,
+                         greatest(coalesce(e.c, 0) / (SELECT sum(c) FROM e), {PSI_EPS}) AS pe,
+                         greatest(coalesce(a.c, 0) / (SELECT sum(c) FROM a), {PSI_EPS}) AS pa
+                  FROM cats LEFT JOIN e USING (event_type) LEFT JOIN a USING (event_type))
+            SELECT round(sum((pa - pe) * ln(pa / pe)), 6)::DOUBLE AS psi FROM p
+        """,
         "exact_dup_documents": f"""
             WITH doubled AS (SELECT * FROM documents UNION ALL SELECT * FROM documents),
             hashed AS (SELECT doc_id, md5({_NORM}) AS content_hash FROM doubled),

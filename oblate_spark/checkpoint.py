@@ -63,14 +63,29 @@ class ResumableRun:
         job: Callable[[DataFrame], DataFrame],
         *,
         metrics: Optional[Callable[[DataFrame, DataFrame], dict]] = None,
+        cleanup: Optional[Callable[[DataFrame], None]] = None,
     ) -> dict:
         """Execute ``job(group_df) -> output_df`` per incomplete group,
         writing output under ``group-<k>/`` and recording lineage
-        (file list) + metrics per group. Returns the final manifest."""
+        (file list) + metrics per group. Returns the final manifest.
+
+        ``cleanup`` runs after each group commits, with the job's output
+        DataFrame — release per-group resources there (cached reports
+        etc.); without it a long run accumulates one cache per group.
+
+        Resume safety: a completed group whose recorded file list no
+        longer matches the source listing aborts the run — silent
+        re-grouping would attribute old outputs to different inputs."""
         done = self.completed_groups()
         manifest = self.manifest()
         for k, files in enumerate(self.groups):
             if k in done:
+                rec = manifest["groups"].get(str(k), {})
+                if rec.get("files") != files:
+                    raise RuntimeError(
+                        f"group {k} file set changed since checkpoint "
+                        f"(source listing drifted); refusing to resume"
+                    )
                 continue
             gdf = self.spark.read.parquet(*files)
             out = job(gdf)
@@ -86,6 +101,8 @@ class ResumableRun:
                 entry["metrics"] = metrics(gdf, written)
             manifest["groups"][str(k)] = entry
             self._publish(manifest)  # atomic per-group commit
+            if cleanup is not None:
+                cleanup(out)
         return self.manifest()
 
     def output(self) -> DataFrame:
@@ -98,7 +115,7 @@ def resumable_validate_images(
 ) -> dict:
     """Checkpointed full image-table validation: violations per group +
     per-group rows/violations metrics in the run manifest."""
-    from .operators.images import validate_image_table
+    from .operators.images import release_report, validate_image_table
 
     run = ResumableRun(spark, source_path, run_dir, group_size=group_size)
 
@@ -115,4 +132,4 @@ def resumable_validate_images(
             },
         }
 
-    return run.run(job, metrics=metrics)
+    return run.run(job, metrics=metrics, cleanup=release_report)

@@ -190,3 +190,21 @@ def test_set_field_single_field_eager(spark, tmp_path):
     # unknown key in the assignment -> KeyError from the merge guard
     with pytest.raises(KeyError):
         set_field(t, Users, key="id", field="score", assignments={42: 1})
+
+
+def test_resumable_run_refuses_drifted_source(spark, tmp_path):
+    """A completed group whose file list changed since the checkpoint
+    must abort the resume, not silently re-attribute outputs."""
+    src = tmp_path / "drift_src"
+    spark.range(0, 100).selectExpr("id", "id * 2 AS v").repartition(4).write.parquet(str(src))
+    run_dir = str(tmp_path / "drift_run")
+    r1 = ResumableRun(spark, str(src), run_dir, group_size=2)
+    r1.run(lambda df: df.selectExpr("id", "v + 1 AS v2"))
+    assert len(r1.completed_groups()) == len(r1.groups)
+
+    # drop one source file -> group composition shifts
+    import glob as _glob
+    os.remove(sorted(_glob.glob(str(src / "*.parquet")))[0])
+    r2 = ResumableRun(spark, str(src), run_dir, group_size=2)
+    with pytest.raises(RuntimeError, match="refusing to resume"):
+        r2.run(lambda df: df.selectExpr("id", "v + 1 AS v2"))
