@@ -287,6 +287,18 @@ def q_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(d, id_col="doc_id", text_col="text", k=FINGERPRINT_K, shingle_len=SHINGLE_K)
 
 
+def q_top_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 tokens by frequency (vocabulary head), deterministic
+    tie-break; planned as TakeOrderedAndProject. The approximate
+    space-saving variant (operators.freq.approx_heavy_hitters) is the
+    unbounded-cardinality path, property-tested in tests/."""
+    from oblate_spark.operators.freq import top_k_tokens
+
+    d = _read(spark, sf_dir, "documents")
+    out = top_k_tokens(d, text_col="text", k=20)
+    return out.select("token", F.col("cnt").cast("bigint").alias("cnt"))
+
+
 def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oblate_spark.operators.dedup import simhash
 
@@ -459,6 +471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id_documents": q_language_id_documents,
         "quality_documents": q_quality_documents,
         "fingerprint_documents": q_fingerprint_documents,
+        "top_tokens_documents": q_top_tokens_documents,
         "simhash_documents": q_simhash_documents,
         "knn_bruteforce": q_knn_bruteforce,
         "embedding_near_dup": q_embedding_near_dup,
@@ -785,6 +798,11 @@ def oracle_sql() -> dict[str, str]:
                        FROM hashed)
             SELECT doc_id, md5(string_agg(sh, ',' ORDER BY sh)) AS fingerprint
             FROM ranked WHERE rk <= {FINGERPRINT_K} GROUP BY doc_id
+        """,
+        "top_tokens_documents": f"""
+            WITH toks AS (SELECT unnest({_TOKENS}) AS token FROM documents),
+            c AS (SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token)
+            SELECT token, cnt FROM c ORDER BY cnt DESC, token ASC LIMIT 20
         """,
         "simhash_documents": _sql_simhash(),
         "embedding_near_dup": """

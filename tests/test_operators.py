@@ -179,3 +179,39 @@ def test_duplicate_clusters_and_keep_canonical(spark):
     docs = spark.createDataFrame([(x,) for x in "abcdefg"], "doc_id string")
     kept = {r["doc_id"] for r in keep_canonical(docs, cl, id_col="doc_id").collect()}
     assert kept == {"a", "d", "g"}  # canonical member per cluster + singleton
+
+
+def test_top_k_tokens_and_heavy_hitters(spark):
+    from pyspark.sql import functions as F
+    from oblate_spark.operators.freq import approx_heavy_hitters, top_k_tokens
+
+    # skewed vocabulary: token t_i appears ~1000/i times (zipf-ish)
+    rows = []
+    for i in range(1, 60):
+        rows.extend([(f"doc{i}_{j}", f"t{i:02d}") for j in range(1000 // i)])
+    df = spark.createDataFrame(rows, "doc_id string, text string").repartition(8)
+
+    top = top_k_tokens(df, text_col="text", k=5).collect()
+    assert [(r["token"], r["cnt"]) for r in top] == [
+        ("t01", 1000), ("t02", 500), ("t03", 333), ("t04", 250), ("t05", 200)
+    ]
+    # plan: per-partition top-k, no global sort
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        top_k_tokens(df, text_col="text", k=5).explain("formatted")
+    assert "TakeOrderedAndProject" in buf.getvalue()
+
+    # space-saving guarantees vs exact counts (capacity 16 << 59 tokens)
+    exact = {f"t{i:02d}": 1000 // i for i in range(1, 60)}
+    total = sum(exact.values())
+    hh = approx_heavy_hitters(df, "text", capacity=16)
+    est = {v: (c, e) for v, c, e in hh}
+    # every value with true count > N/capacity must be present
+    for v, true_cnt in exact.items():
+        if true_cnt > total / 16:
+            assert v in est, v
+    # estimates are upper bounds and est - err lower bounds
+    for v, (c, e) in est.items():
+        assert c >= exact[v]
+        assert c - e <= exact[v]
