@@ -106,6 +106,26 @@ def q_validate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.violations.select("row_id", "field_key", "error_code", "message")
 
 
+def q_validate_staged_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged (semi-structured) ingestion under the oracle gate: cells
+    are JSON-encoded strings; every 97th order's quantity is replaced
+    with a JSON string token, exercising the strict-Float cast kernel
+    (token classification, load-failure suppressing validators —
+    reference oblate/schema.py:267-277)."""
+    li = _with_row_id(_read(spark, sf_dir, "lineitem"))
+    staged = li.select(
+        "row_id",
+        F.when(F.col("l_orderkey") % 97 == 0, F.lit('"bad"'))
+        .otherwise(F.col("l_quantity").cast("string"))
+        .alias("l_quantity"),
+        F.concat(F.lit('"'), F.col("l_returnflag"), F.lit('"')).alias("l_returnflag"),
+    )
+    res = _lineitem_schema().validate(
+        staged, mode="staged", row_id="row_id", ignore_extra=True
+    )
+    return res.violations.select("row_id", "field_key", "error_code", "message")
+
+
 def q_verdict_summary_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _with_row_id(_read(spark, sf_dir, "lineitem"))
     res = _lineitem_schema().validate(li, row_id="row_id", ignore_extra=True)
@@ -455,6 +475,7 @@ def q_subword_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": q_validate_lineitem,
+        "validate_staged_lineitem": q_validate_staged_lineitem,
         "verdict_summary_lineitem": q_verdict_summary_lineitem,
         "column_profile_lineitem": q_column_profile_lineitem,
         "duplicate_o_custkey": q_duplicate_o_custkey,
@@ -666,6 +687,23 @@ def oracle_sql() -> dict[str, str]:
                    'l_quantity' AS field_key, 'validate.range' AS error_code,
                    'Value must be in range 1 to 49 inclusive' AS message
             FROM lineitem WHERE l_quantity IS NOT NULL AND l_quantity NOT BETWEEN 1 AND 49
+            UNION ALL
+            SELECT l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR,
+                   'l_returnflag', 'literal.invalid_value',
+                   'Value must be one of: ''A'', ''N'''
+            FROM lineitem WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A', 'N')
+        """,
+        "validate_staged_lineitem": """
+            SELECT l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR AS row_id,
+                   'l_quantity' AS field_key, 'float.invalid_datatype' AS error_code,
+                   'Value must be a floating point number' AS message
+            FROM lineitem WHERE l_orderkey % 97 = 0 AND l_quantity IS NOT NULL
+            UNION ALL
+            SELECT l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR,
+                   'l_quantity', 'validate.range',
+                   'Value must be in range 1 to 49 inclusive'
+            FROM lineitem WHERE l_orderkey % 97 <> 0
+              AND l_quantity IS NOT NULL AND l_quantity NOT BETWEEN 1 AND 49
             UNION ALL
             SELECT l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR,
                    'l_returnflag', 'literal.invalid_value',
