@@ -194,7 +194,7 @@ def _decode_png(data: bytes) -> np.ndarray:
         length = struct.unpack_from(">I", data, idx)[0]
         tag = data[idx + 4 : idx + 8]
         payload = data[idx + 8 : idx + 8 + length]
-        if len(payload) < length:
+        if len(payload) < length or idx + 12 + length > len(data):
             raise ImageDecodeError("truncated PNG chunk")
         crc = struct.unpack_from(">I", data, idx + 8 + length)[0]
         if crc != (zlib.crc32(tag + payload) & 0xFFFFFFFF):

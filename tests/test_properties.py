@@ -126,3 +126,52 @@ def test_staged_kernel_agrees_with_python_twin(spark):
                 assert spark_msgs == py_msgs, (
                     field_cls.__name__, strict, v, spark_msgs, py_msgs
                 )
+
+
+@given(
+    st.integers(min_value=1, max_value=60),
+    st.integers(min_value=1, max_value=60),
+    st.sampled_from(["bmp", "png", "ppm"]),
+    st.integers(min_value=0, max_value=2**31),
+    st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=60, deadline=None)
+def test_codec_truncation_fuzz_never_escapes_decode_error(w, h, fmt, seed, cut):
+    """Any prefix truncation of a valid encoding either decodes or
+    raises ImageDecodeError — never IndexError/struct.error/etc. (the
+    round-2 ADVICE bug class: malformed payloads must surface as
+    violations, not task failures)."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    blob = codecs.encode_image(px, fmt)
+    prefix = blob[: min(cut, len(blob))]
+    try:
+        out = codecs.decode_image(prefix)
+        assert out.shape[2] == 3  # decoded something plausible
+    except codecs.ImageDecodeError:
+        pass  # the only acceptable failure mode
+
+
+@given(
+    st.integers(min_value=1, max_value=60),
+    st.integers(min_value=1, max_value=60),
+    st.sampled_from(["bmp", "png", "ppm"]),
+    st.integers(min_value=0, max_value=2**31),
+    st.integers(min_value=0, max_value=200),
+    st.integers(min_value=0, max_value=255),
+)
+@settings(max_examples=60, deadline=None)
+def test_codec_byte_corruption_fuzz(w, h, fmt, seed, pos_seed, newbyte):
+    """Single-byte corruption anywhere in a valid encoding either still
+    decodes (an HxWx3 image) or raises ImageDecodeError — no other
+    exception type may escape."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    blob = bytearray(codecs.encode_image(px, fmt))
+    pos = pos_seed % len(blob)
+    blob[pos] = newbyte
+    try:
+        out = codecs.decode_image(bytes(blob))
+        assert out.ndim == 3 and out.shape[2] == 3
+    except codecs.ImageDecodeError:
+        pass

@@ -146,3 +146,69 @@ def test_stateful_sessionization_stream(spark, tmp_path):
     r = a_gap[0]
     assert str(r["session_start"]) == "2024-01-01 10:00:00"
     assert str(r["session_end"]) == "2024-01-01 10:05:00"
+
+
+def test_streaming_drift_matches_batch_and_scores(spark, events_source):
+    """Windowed streaming histogram == the identical batch expression on
+    the same data; PSI per window against a frozen reference is finite
+    and ~0 when the reference IS the global distribution."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from oblate_spark.operators.drift import bin_expr, fixed_width_histogram
+    from oblate_spark.streaming import psi_per_window, windowed_bin_counts
+
+    src, batch_df = events_source
+    lo, hi, nbins = 0.0, 100.0, 16
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    counts = windowed_bin_counts(
+        stream, col="value", ts_col="ts", lo=lo, hi=hi, nbins=nbins,
+        window="6 hours", watermark="0 seconds",
+    )
+    name = f"drift_{int(_time.time()*1000) % 10_000_000}"
+    q = counts.writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+    finally:
+        q.stop()
+
+    # stream == batch on identical binning + windowing
+    batch_counts = (
+        batch_df.filter(F.col("value").isNotNull())
+        .groupBy(
+            F.window(F.col("ts").cast("timestamp"), "6 hours").alias("w"),
+            bin_expr(F.col("value"), lo, hi, nbins).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "bin", "cnt")
+    ).collect()
+    got = {(r["window_start"], r["bin"]): r["cnt"] for r in rows}
+    want = {(r["window_start"], r["bin"]): r["cnt"] for r in batch_counts}
+    assert got == want and len(want) > 0
+
+    # PSI per window vs the global reference distribution
+    ref = fixed_width_histogram(
+        batch_df.select(F.col("value")), "value", lo=lo, hi=hi, nbins=nbins
+    ).collect()
+    total = sum(r["cnt"] for r in ref)
+    ref_probs = {int(r["bin"]): r["cnt"] / total for r in ref}
+    scores = psi_per_window(rows, ref_probs, nbins=nbins)
+    assert len(scores) > 0
+    # each term of PSI is >= 0; sparse windows legitimately score high
+    # (eps-floored empty bins), so only sign+finiteness is asserted
+    import math as _math
+
+    assert all(v >= 0.0 and _math.isfinite(v) for v in scores.values())
+
+    # the union of all windows IS the reference distribution -> PSI ~ 0
+    combined: dict = {}
+    for r in rows:
+        combined[int(r["bin"])] = combined.get(int(r["bin"]), 0) + r["cnt"]
+    agg = psi_per_window(
+        [{"window_start": 0, "bin": b, "cnt": c} for b, c in combined.items()],
+        ref_probs,
+        nbins=nbins,
+    )
+    assert agg[0] < 1e-9
