@@ -214,13 +214,14 @@ def q_categorical_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Categorical drift (event-type mix) between even- and odd-user
     cohorts — the format-mix check of the north rule, exercised on the
     driver's events table."""
-    from oblate_spark.operators.drift import categorical_psi
+    from oblate_spark.operators.drift import categorical_psi_flagged
 
     ev = _read(spark, sf_dir, "events")
-    val = categorical_psi(
-        ev.filter(F.col("user_id") % 2 == 0),
-        ev.filter(F.col("user_id") % 2 == 1),
+    val = categorical_psi_flagged(
+        ev,
         col="event_type",
+        expected_cond=F.col("user_id") % 2 == 0,
+        actual_cond=F.col("user_id") % 2 == 1,
         eps=PSI_EPS,
     )
     return spark.createDataFrame([(float(f"{val:.6f}"),)], "psi double")

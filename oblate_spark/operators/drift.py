@@ -352,6 +352,38 @@ def categorical_psi(
     return float(total)
 
 
+def categorical_psi_flagged(
+    df: DataFrame,
+    *,
+    col,
+    expected_cond,
+    actual_cond,
+    eps: float = 1e-6,
+) -> float:
+    """Categorical PSI when both populations live in ONE table: a single
+    scan with per-category conditional counts (vs two scans for the
+    two-frame form). Rows matching neither predicate are ignored."""
+    rows = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(
+            F.count(F.when(expected_cond, F.lit(1))).alias("ce"),
+            F.count(F.when(actual_cond, F.lit(1))).alias("ca"),
+        )
+        .collect()
+    )
+    et = float(sum(r["ce"] for r in rows)) or 1.0
+    at = float(sum(r["ca"] for r in rows)) or 1.0
+    total = 0.0
+    for r in rows:
+        if r["ce"] == 0 and r["ca"] == 0:
+            continue  # category absent from both populations
+        pe = max(r["ce"] / et, eps)
+        pa = max(r["ca"] / at, eps)
+        total += (pa - pe) * math.log(pa / pe)
+    return float(total)
+
+
 def image_table_drift_report(
     reference: DataFrame,
     current: DataFrame,
