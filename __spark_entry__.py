@@ -422,6 +422,24 @@ def q_image_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal Axis-A, audio: REAL RIFF/WAVE PCM decode (own
+    pure-numpy codec) over a 500-clip deterministic fixture; per-clip
+    decode outcome + sample facts match the closed-form manifest
+    (fixtures.audio_manifest_for_index)."""
+    from oblate_spark import fixtures
+    from oblate_spark.operators.multimodal import audio_payload_report
+
+    clips = fixtures.build_audio_df(spark, 500)
+    rep = audio_payload_report(clips)
+    return rep.select(
+        "clip_id", "decode_ok",
+        F.col("rate").cast("int").alias("rate"),
+        F.col("n_samples").cast("bigint").alias("n_samples"),
+        F.col("n_channels").cast("int").alias("n_channels"),
+    )
+
+
 def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: deterministic IVF (md5-seeded centroids, literal-
     array argmax assignment, nprobe bucket probing) — fully expressible
@@ -503,8 +521,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters_documents": q_dup_clusters_documents,
         "sessionization_events": q_sessionization_events,
         "events_hourly_counts": q_events_hourly_counts,
-        # golden-manifest oracle (closed-form literal counts)
+        # golden-manifest oracles (closed-form fixture manifests)
         "image_validation": q_image_validation,
+        "audio_validation": q_audio_validation,
         "subword_count_documents": q_subword_count_documents,
         # rows-only (non-SQL-expressible: sketch tolerance bounds)
         "tdigest_quantiles": q_tdigest_quantiles,
@@ -959,6 +978,14 @@ def oracle_sql() -> dict[str, str]:
             FROM walk GROUP BY node
         """,
         "image_validation": _sql_image_golden(2000),
+        "audio_validation": """
+            SELECT 'clip_' || lpad(i::VARCHAR, 5, '0') AS clip_id,
+                   (i % 10 <> 9) AS decode_ok,
+                   CASE WHEN i % 10 <> 9 THEN 8000 END::INT AS rate,
+                   CASE WHEN i % 10 <> 9 THEN 4000 + (i % 5) * 1000 END::BIGINT AS n_samples,
+                   CASE WHEN i % 10 <> 9 THEN 1 END::INT AS n_channels
+            FROM (SELECT unnest(generate_series(0, 499)) AS i)
+        """,
         "subword_count_documents": r"""
             SELECT doc_id,
                    len(regexp_extract_all(text,

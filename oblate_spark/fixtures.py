@@ -201,3 +201,55 @@ def expected_defect_counts(n_rows: int) -> dict[str, int]:
         if d:
             counts[d] = counts.get(d, 0) + 1
     return counts
+
+
+# ---------------------------------------------------------------------------
+# audio fixture (multimodal Axis-A: WAV clips with a closed-form manifest)
+# ---------------------------------------------------------------------------
+
+AUDIO_SCHEMA = "clip_id string, payload binary"
+AUDIO_RATE = 8000
+
+
+def audio_manifest_for_index(i: int) -> dict:
+    """Closed-form per-clip facts (the golden manifest): every 10th clip
+    (slot 9) is a malformed payload; the rest are PCM-16 mono WAV tones
+    with n_samples = 4000 + (i % 5) * 1000 at AUDIO_RATE."""
+    bad = (i % 10) == 9
+    return {
+        "clip_id": f"clip_{i:05d}",
+        "decode_ok": not bad,
+        "rate": None if bad else AUDIO_RATE,
+        "n_samples": None if bad else 4000 + (i % 5) * 1000,
+        "n_channels": None if bad else 1,
+    }
+
+
+def make_audio_row(i: int) -> dict:
+    from .functions.audiocodecs import encode_wav
+
+    m = audio_manifest_for_index(i)
+    if not m["decode_ok"]:
+        rng = np.random.default_rng(SEED * 11_000_003 + i)
+        return {"clip_id": m["clip_id"], "payload": bytearray(rng.bytes(64))}
+    n = m["n_samples"]
+    freq = 200.0 + (i % 8) * 100.0
+    t = np.arange(n)
+    tone = (np.sin(2 * np.pi * freq * t / AUDIO_RATE) * 20000).astype(np.int16)
+    return {"clip_id": m["clip_id"], "payload": bytearray(encode_wav(tone, AUDIO_RATE))}
+
+
+def build_audio_df(spark: SparkSession, n_rows: int, *, partitions: int | None = None) -> DataFrame:
+    """Deterministic distributed WAV-clip table (index-keyed, like
+    build_images_df — identical output at any parallelism)."""
+    import pandas as pd
+
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 8)
+
+    def gen(iterator):
+        for pdf in iterator:
+            rows = [make_audio_row(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n_rows, numPartitions=partitions).mapInPandas(gen, AUDIO_SCHEMA)

@@ -2,11 +2,14 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata;
 transformations run as Arrow-batched kernels over ``mapInPandas``. The
-image path is fully REAL (this repo ships its own codecs); audio/video
-decoding needs libs absent from this sandbox, so those kernels are
-deterministic STUBS — the Spark-side plumbing (schemas, partitioning,
-UDF signatures, batch shapes) is real and tested, and the stub body is
-the single function to swap for soundfile/pyav when available.
+image path is fully REAL (this repo ships its own codecs,
+functions/codecs.py) and so is the audio path for RIFF/WAVE PCM
+(functions/audiocodecs.py: pure-numpy decode + spectral features).
+Video demuxing and compressed-audio decoding need libs absent from this
+sandbox, so those remain deterministic STUBS — the Spark-side plumbing
+(schemas, partitioning, UDF signatures, batch shapes) is real and
+tested, and the stub body is the single function to swap for
+pyav/soundfile when available.
 """
 
 from __future__ import annotations
@@ -21,6 +24,7 @@ __all__ = [
     "image_resize",
     "image_features",
     "audio_features",
+    "audio_payload_report",
     "video_frame_sample",
 ]
 
@@ -102,7 +106,14 @@ def image_features(
                 norm = np.linalg.norm(vec) or 1.0
                 ids.append(i)
                 feats.append((vec / norm).astype(float).tolist())
-            yield pd.DataFrame({id_col: ids, "embedding": feats})
+            # object dtype: an EMPTY batch otherwise yields float64
+            # columns that Arrow cannot convert to array<double>
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=object),
+                    "embedding": pd.Series(feats, dtype=object),
+                }
+            )
 
     return df.select(id_col, bytes_col).mapInPandas(
         kernel, f"{id_col} string, embedding array<double>"
@@ -120,29 +131,43 @@ def _stub_vector(payload: bytes, dim: int) -> list:
 def audio_features(
     df: DataFrame, *, bytes_col: str, id_col: str, dim: int = 32, allow_stub: bool = True
 ) -> DataFrame:
-    """Audio feature extraction over binary payloads.
+    """Audio feature extraction over binary payloads — REAL for
+    RIFF/WAVE PCM (this repo ships its own pure-numpy WAV codec,
+    functions/audiocodecs.py): duration / RMS / zero-crossing rate /
+    spectral centroid / log-spaced FFT band energies.
 
-    STUB: real decoding (soundfile/librosa) is unavailable in this
-    sandbox. With ``allow_stub`` the kernel emits a deterministic
-    hash-seeded vector (full Arrow plumbing exercised); otherwise it
-    raises NotImplementedError, the marker for swapping in a real codec.
-    """
+    Compressed formats (mp3/ogg/flac) need decoders absent from this
+    sandbox: with ``allow_stub`` an undecodable payload falls back to a
+    deterministic hash-seeded vector (so downstream plumbing always has
+    full coverage); with ``allow_stub=False`` undecodable payloads are
+    skipped — swap a real decoder into ``decode_wav``'s interface to
+    extend coverage."""
     import pandas as pd
 
-    if not REAL_AV_CODECS_AVAILABLE and not allow_stub:
-        raise NotImplementedError(
-            "audio decoding requires soundfile/librosa, absent in this sandbox"
-        )
-
     def kernel(iterator):
+        from ..functions.audiocodecs import audio_feature_vector, decode_wav
+
         for pdf in iterator:
             ids, feats = [], []
             for i, blob in zip(pdf[id_col], pdf[bytes_col]):
                 if blob is None:
                     continue
+                data = bytes(blob)
+                try:
+                    samples, rate = decode_wav(data)
+                    vec = audio_feature_vector(samples, rate, dim).tolist()
+                except Exception:  # undecodable payload, never a task failure
+                    if not allow_stub:
+                        continue
+                    vec = _stub_vector(data, dim)
                 ids.append(i)
-                feats.append(_stub_vector(bytes(blob), dim))
-            yield pd.DataFrame({id_col: ids, "embedding": feats})
+                feats.append(vec)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=object),
+                    "embedding": pd.Series(feats, dtype=object),
+                }
+            )
 
     return df.select(id_col, bytes_col).mapInPandas(
         kernel, f"{id_col} string, embedding array<double>"
@@ -186,4 +211,54 @@ def video_frame_sample(
 
     return df.select(id_col, bytes_col).mapInPandas(
         kernel, f"{id_col} string, frame_index int, frame_bytes binary"
+    )
+
+
+def audio_payload_report(
+    df: DataFrame, *, bytes_col: str = "payload", id_col: str = "clip_id"
+) -> DataFrame:
+    """Audio analogue of the image payload report: decode every payload
+    once (REAL for RIFF/WAVE PCM), emit compact per-clip outcome columns
+    (decode_ok, rate, n_samples, n_channels, duration). Malformed
+    payloads become decode_ok=false rows, never task failures."""
+    import pandas as pd
+
+    def kernel(iterator):
+        from ..functions.audiocodecs import decode_wav
+
+        for pdf in iterator:
+            n = len(pdf)
+            ok = np.zeros(n, dtype=bool)
+            rate = np.zeros(n, dtype=np.int32)
+            nsamp = np.zeros(n, dtype=np.int64)
+            nch = np.zeros(n, dtype=np.int32)
+            dur = np.zeros(n, dtype=np.float64)
+            for j, blob in enumerate(pdf[bytes_col]):
+                if blob is None:
+                    continue
+                try:
+                    samples, r = decode_wav(bytes(blob))
+                except Exception:
+                    continue
+                ok[j] = True
+                rate[j] = r
+                nsamp[j] = samples.shape[0]
+                nch[j] = samples.shape[1]
+                dur[j] = samples.shape[0] / float(r)
+            miss = ~ok
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "decode_ok": ok,
+                    "rate": pd.arrays.IntegerArray(rate, miss.copy()),
+                    "n_samples": pd.arrays.IntegerArray(nsamp, miss.copy()),
+                    "n_channels": pd.arrays.IntegerArray(nch, miss.copy()),
+                    "duration": pd.arrays.FloatingArray(dur, miss.copy()),
+                }
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(
+        kernel,
+        f"{id_col} string, decode_ok boolean, rate int, n_samples bigint, "
+        "n_channels int, duration double",
     )

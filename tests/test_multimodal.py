@@ -62,8 +62,12 @@ def test_audio_features_stub_plumbing(spark, images_df):
 
 
 def test_audio_features_stub_gate(spark, images_df):
-    with pytest.raises(NotImplementedError):
-        mm.audio_features(images_df, bytes_col="bytes", id_col="image_id", allow_stub=False)
+    # audio decode is now REAL for WAV; image payloads are not audio, so
+    # with allow_stub=False every row is skipped (no stub fallback)
+    out = mm.audio_features(
+        images_df.limit(5), bytes_col="bytes", id_col="image_id", allow_stub=False
+    )
+    assert out.count() == 0
 
 
 def test_video_frame_sample_stub(spark, images_df):
@@ -78,3 +82,91 @@ def test_video_frame_sample_stub(spark, images_df):
 
     px = decode_image(bytes(rows[0]["frame_bytes"]))
     assert px.shape == (8, 8, 3)
+
+
+def test_wav_codec_roundtrip_and_features():
+    import numpy as np
+
+    from oblate_spark.functions.audiocodecs import (
+        AudioDecodeError,
+        audio_feature_vector,
+        decode_wav,
+        encode_wav,
+    )
+
+    rate = 8000
+    t = np.arange(rate)  # 1 second
+    tone = (np.sin(2 * np.pi * 440.0 * t / rate) * 20000).astype(np.int16)
+    blob = encode_wav(tone, rate)
+    samples, got_rate = decode_wav(blob)
+    assert got_rate == rate and samples.shape == (rate, 1)
+    assert np.allclose(samples[:, 0], tone / 32768.0, atol=1e-9)
+
+    vec = audio_feature_vector(samples, rate, dim=16)
+    assert len(vec) == 16
+    assert abs(vec[0] - 1.0) < 1e-9                    # duration 1s
+    assert abs(vec[1] - (20000 / 32768) / np.sqrt(2)) < 0.01  # sine RMS
+    assert abs(vec[3] * (rate / 2) - 440.0) < 5.0      # spectral centroid at the tone
+
+    # stereo + 8-bit paths
+    stereo = np.stack([tone, -tone], axis=1)
+    s2, r2 = decode_wav(encode_wav(stereo, rate))
+    assert s2.shape == (rate, 2) and r2 == rate
+
+    for bad in (b"", b"RIFFxxxxWAVE", blob[:40], b"\x00" * 64):
+        with pytest.raises(AudioDecodeError):
+            decode_wav(bad)
+
+
+def test_audio_features_real_wav_kernel(spark):
+    """audio_features is REAL for WAV payloads: the spectral centroid
+    separates a 200 Hz tone from a 3000 Hz tone; undecodable payloads
+    fall back to the stub (or are skipped with allow_stub=False)."""
+    import numpy as np
+
+    from oblate_spark.functions.audiocodecs import encode_wav
+    from oblate_spark.operators.multimodal import audio_features
+
+    rate = 8000
+    t = np.arange(rate)
+
+    def tone(freq):
+        return encode_wav((np.sin(2 * np.pi * freq * t / rate) * 20000).astype(np.int16), rate)
+
+    rows = [("low", tone(200.0)), ("high", tone(3000.0)), ("junk", b"not audio")]
+    df = spark.createDataFrame(rows, "clip_id string, payload binary")
+
+    feats = {
+        r["clip_id"]: r["embedding"]
+        for r in audio_features(df, bytes_col="payload", id_col="clip_id", dim=16).collect()
+    }
+    assert set(feats) == {"low", "high", "junk"}
+    assert feats["low"][3] < feats["high"][3]  # centroid orders the tones
+    assert abs(feats["low"][0] - 1.0) < 1e-9   # real decode: duration 1s
+
+    strict = audio_features(
+        df, bytes_col="payload", id_col="clip_id", dim=16, allow_stub=False
+    ).collect()
+    assert {r["clip_id"] for r in strict} == {"low", "high"}  # junk skipped
+
+
+def test_audio_fixture_and_report_match_manifest(spark):
+    from oblate_spark import fixtures
+    from oblate_spark.operators.multimodal import audio_payload_report
+
+    # parallelism invariance (same property as the image fixture)
+    a = fixtures.build_audio_df(spark, 40, partitions=2).orderBy("clip_id").collect()
+    b = fixtures.build_audio_df(spark, 40, partitions=8).orderBy("clip_id").collect()
+    for ra, rb in zip(a, b):
+        assert ra["clip_id"] == rb["clip_id"]
+        assert bytes(ra["payload"]) == bytes(rb["payload"])
+
+    rep = {r["clip_id"]: r for r in audio_payload_report(
+        fixtures.build_audio_df(spark, 100)).collect()}
+    for i in range(100):
+        m = fixtures.audio_manifest_for_index(i)
+        r = rep[m["clip_id"]]
+        assert r["decode_ok"] == m["decode_ok"]
+        assert r["rate"] == m["rate"] and r["n_samples"] == m["n_samples"]
+        if m["decode_ok"]:
+            assert abs(r["duration"] - m["n_samples"] / fixtures.AUDIO_RATE) < 1e-12
