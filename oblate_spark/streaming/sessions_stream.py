@@ -95,13 +95,24 @@ def sessionize_stream(
                 closed.append((start, last, cnt))
                 start, last, cnt = t, t, 1
             else:
-                last = t
+                # clamp to monotonic time: a cross-batch out-of-order
+                # event must never move the session end (and with it the
+                # registered timeout) backwards
+                start = min(start, t)
+                last = max(last, t)
                 cnt += 1
 
         if last is not None:
             state.update((float(start), float(last), int(cnt)))
-            # event-time timeout: fires when the watermark passes it
-            state.setTimeoutTimestamp(int((last + gap) * 1000))
+            # event-time timeout: fires when the watermark passes it.
+            # Events later than `gap` but still inside the watermark can
+            # leave last + gap AT or BELOW the current watermark, and
+            # setTimeoutTimestamp raises on a non-future timestamp
+            # (INVALID_TIMEOUT_TIMESTAMP would fail the whole query) —
+            # clamp to watermark + 1ms so the session closes on the next
+            # microbatch instead of crashing the stream.
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(int((last + gap) * 1000), wm_ms + 1))
         if closed:
             yield rows(closed, "gap")
 

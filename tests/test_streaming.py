@@ -148,6 +148,92 @@ def test_stateful_sessionization_stream(spark, tmp_path):
     assert str(r["session_end"]) == "2024-01-01 10:05:00"
 
 
+def test_sessionize_stream_late_event_within_watermark(spark, tmp_path):
+    """Regression (ADVICE r2): an event later than `gap` but inside the
+    watermark used to produce a timeout timestamp at/below the current
+    watermark — GroupState.setTimeoutTimestamp raises
+    INVALID_TIMEOUT_TIMESTAMP and the whole query dies. The fix clamps
+    the timeout to watermark+1ms."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from oblate_spark.streaming import sessionize_stream
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    mk = lambda rows: spark.createDataFrame(rows, "user_id string, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    # batch 1: A at 10:00 and 12:00 -> watermark advances to 11:00
+    mk([("A", "2024-01-01 10:00:00"), ("A", "2024-01-01 12:00:00")]).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    # batch 2: B's only event at 10:20 — 40min late but within the 1h
+    # watermark; new session's last+gap = 10:50 <= watermark 11:00.
+    # Old code: crash. New code: timeout clamped to 11:00+1ms.
+    mk([("B", "2024-01-01 10:20:00")]).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    out = sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
+    name = f"late_{int(_time.time()*1000) % 10_000_000}"
+    q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        q.processAllAvailable()  # raises StreamingQueryException on task failure
+        assert q.exception() is None
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+    finally:
+        q.stop()
+    # A's first session (one event at 10:00) closed by the 2h gap
+    assert ("A", 1, "gap") in {(r["user_id"], r["n_events"], r["closed_by"]) for r in rows}
+
+
+def test_sessionize_stream_out_of_order_monotonic(spark, tmp_path):
+    """A cross-batch out-of-order event inside the gap must not move the
+    session end backwards (regression: `last = t` unconditionally)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from oblate_spark.streaming import sessionize_stream
+
+    src = tmp_path / "ooo_src"
+    src.mkdir()
+    mk = lambda rows: spark.createDataFrame(rows, "user_id string, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    mk([("A", "2024-01-01 10:00:00"), ("A", "2024-01-01 10:10:00")]).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    # out-of-order: 10:05 arrives after 10:10 (watermark 0s -> not dropped)
+    mk([("A", "2024-01-01 10:05:00")]).coalesce(1).write.parquet(str(src / "f2"))
+    # 11:00 is >30min after the true session end 10:10 -> closes it by gap
+    mk([("A", "2024-01-01 11:00:00")]).coalesce(1).write.parquet(str(src / "f3"))
+
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    out = sessionize_stream(stream, gap_minutes=30, watermark="0 seconds")
+    name = f"ooo_{int(_time.time()*1000) % 10_000_000}"
+    q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+    finally:
+        q.stop()
+    gap_rows = [r for r in rows if r["closed_by"] == "gap"]
+    assert len(gap_rows) == 1
+    r = gap_rows[0]
+    assert str(r["session_start"]) == "2024-01-01 10:00:00"
+    # with the bug the end regressed to 10:05
+    assert str(r["session_end"]) == "2024-01-01 10:10:00"
+    assert r["n_events"] == 3
+
+
 def test_streaming_drift_matches_batch_and_scores(spark, events_source):
     """Windowed streaming histogram == the identical batch expression on
     the same data; PSI per window against a frozen reference is finite
