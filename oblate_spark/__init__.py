@@ -23,6 +23,7 @@ Quick start::
 """
 
 from . import fields, validate
+from .contexts import SchemaContext, current_schema_context
 from .engine import ValidationResult, raw_from_violations, validate as validate_df
 from .errors import ErrorCode, ErrorContext, FieldNotSet
 from .fields import MISSING
@@ -43,6 +44,8 @@ __all__ = [
     "validate_types",
     "TypeValidationError",
     "ValidationResult",
+    "SchemaContext",
+    "current_schema_context",
     "ErrorCode",
     "ErrorContext",
     "FieldNotSet",

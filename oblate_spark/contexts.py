@@ -1,0 +1,104 @@
+"""Per-run schema context — reference parity for ``SchemaContext.state``
+(reference oblate/contexts.py:42-83: ``Schema(data, state=...)`` makes
+user state available to validators and hooks via
+``ctx.schema.context.state``).
+
+The reference's SchemaContext rides on a Schema *instance*; in this
+engine a "run" is one ``Schema.validate(df, state=...)`` call and the
+context is made available three ways:
+
+* on the returned ``ValidationResult`` as ``.context``;
+* to custom validator callables (``ExprValidator`` /
+  ``PandasValidator`` / ``@validate.field`` methods) that declare a
+  second parameter — they receive the SchemaContext after the Column /
+  Series argument;
+* to ``format_error`` overrides via ``ErrorContext.context``.
+
+Like the reference (which threads contexts through ``contextvars`` —
+oblate/utils.py ``current_context``/``current_schema``), the active
+run's context is published in a ContextVar for the duration of plan
+compilation. Validators built as Column expressions run on the driver
+exactly once per plan, so reading state here is free; PandasValidator
+closures capture the context by value (cloudpickle) for the Arrow
+workers.
+"""
+
+from __future__ import annotations
+
+import contextvars
+import copy
+import inspect
+from typing import Any, Callable, Optional
+
+__all__ = ["SchemaContext", "current_schema_context"]
+
+
+class SchemaContext:
+    """State of one ``validate()`` run (reference oblate/contexts.py:42-83).
+
+    Attributes
+    ----------
+    schema:
+        The Schema *class* the run validates against.
+    config:
+        Its ``SchemaConfig``.
+    state:
+        Arbitrary user state passed as ``Schema.validate(df, state=...)``;
+        ``None`` by default. Mutable — validators may read and write it
+        during plan compilation (driver-side).
+    """
+
+    __slots__ = ("schema", "config", "state", "_initialized")
+
+    def __init__(self, schema: Any, state: Any = None) -> None:
+        self.schema = schema
+        self.config = getattr(schema, "__config__", None)
+        self.state = state
+        self._initialized = False
+
+    def is_initialized(self) -> bool:
+        """True once the run's plan has been compiled successfully
+        (reference ``SchemaContext.is_initialized``)."""
+        return self._initialized
+
+    def _copy(self, schema: Any) -> "SchemaContext":
+        ctx = self.__class__(schema=schema, state=copy.copy(self.state))
+        ctx._initialized = True
+        return ctx
+
+
+_current: contextvars.ContextVar[Optional[SchemaContext]] = contextvars.ContextVar(
+    "oblate_spark_schema_context", default=None
+)
+
+
+def current_schema_context() -> Optional[SchemaContext]:
+    """The SchemaContext of the ``validate()`` run currently being
+    compiled, or None outside one."""
+    return _current.get()
+
+
+def _set_current(ctx: Optional[SchemaContext]) -> contextvars.Token:
+    return _current.set(ctx)
+
+
+def _reset_current(token: contextvars.Token) -> None:
+    _current.reset(token)
+
+
+def wants_context(fn: Callable) -> bool:
+    """True if ``fn`` declares a second positional parameter (the
+    SchemaContext) after its Column/Series argument."""
+    try:
+        sig = inspect.signature(fn)
+    except (TypeError, ValueError):  # builtins / C callables
+        return False
+    kinds = [p.kind for p in sig.parameters.values()]
+    if inspect.Parameter.VAR_POSITIONAL in kinds:
+        return True
+    positional = [
+        k
+        for k in kinds
+        if k in (inspect.Parameter.POSITIONAL_ONLY, inspect.Parameter.POSITIONAL_OR_KEYWORD)
+    ]
+    return len(positional) >= 2

@@ -55,6 +55,9 @@ def _resolve_row_id(df: DataFrame, row_id: Optional[str]) -> Column:
 class ValidationResult:
     annotated: DataFrame
     plan: CompiledPlan
+    #: per-run SchemaContext (user state passed as validate(state=...));
+    #: reference oblate/contexts.py:42-83
+    context: Any = None
 
     @property
     def violations(self) -> DataFrame:
@@ -210,12 +213,21 @@ def validate(
     extra_columns_ok: tuple[str, ...] = ("row_id",),
     ignore_extra: Optional[bool] = None,
     is_update: bool = False,
+    state: Any = None,
 ) -> ValidationResult:
     """Compile and apply ``schema_cls``'s plan to ``df``.
 
     ``is_update=True`` validates a change-set: absent columns mean
     "unchanged", so required/default semantics for them are skipped
-    (reference Schema.update parity, oblate/schema.py:385-436)."""
+    (reference Schema.update parity, oblate/schema.py:385-436).
+
+    ``state`` is arbitrary per-run user state (reference
+    ``Schema(data, state=...)``, oblate/contexts.py:42-83): published to
+    custom validators and ``format_error`` overrides for the duration of
+    plan compilation via :func:`contexts.current_schema_context`, and
+    kept on the returned result as ``.context``."""
+    from .contexts import SchemaContext, _reset_current, _set_current
+
     if ignore_extra is not None:
         import copy
 
@@ -223,14 +235,20 @@ def validate(
         cfg.ignore_extra = ignore_extra
         schema_cls = type(schema_cls.__name__, (schema_cls,), {"__config__": cfg})
 
-    plan = compile_plan(
-        schema_cls, df, mode=mode, extra_columns_ok=extra_columns_ok, is_update=is_update
-    )
-    violations_col = plan.violations_column()
+    ctx = SchemaContext(schema_cls, state=state)
+    token = _set_current(ctx)
+    try:
+        plan = compile_plan(
+            schema_cls, df, mode=mode, extra_columns_ok=extra_columns_ok, is_update=is_update
+        )
+        violations_col = plan.violations_column()
+    finally:
+        _reset_current(token)
+    ctx._initialized = True
     annotated = df.withColumns(
         {
             "_row_id": _resolve_row_id(df, row_id),
             "_violations": violations_col,
         }
     ).withColumn("_valid", F.size("_violations") == 0)
-    return ValidationResult(annotated=annotated, plan=plan)
+    return ValidationResult(annotated=annotated, plan=plan, context=ctx)

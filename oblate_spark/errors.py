@@ -152,15 +152,22 @@ class ErrorContext:
     value's string repr) usable inside message expressions; per-row
     Python never runs."""
 
-    __slots__ = ("error_code", "field", "value", "schema", "metadata")
+    __slots__ = ("error_code", "field", "value", "schema", "metadata", "context")
 
     def __init__(self, error_code: str, field: Any, value: Any, schema: Any = None,
-                 metadata: Any = None) -> None:
+                 metadata: Any = None, context: Any = None) -> None:
+        from .contexts import current_schema_context
+
         self.error_code = error_code
         self.field = field
         self.value = value
         self.schema = schema
         self.metadata = metadata or {}
+        #: the active run's SchemaContext (user state via .context.state)
+        #: — reference ctx.schema.context.state (oblate/contexts.py:42-83)
+        self.context = context if context is not None else current_schema_context()
+        if schema is None and self.context is not None:
+            self.schema = self.context.schema
 
     def get_value(self):
         return self.value

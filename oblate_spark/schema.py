@@ -145,7 +145,16 @@ class Schema(metaclass=SchemaMeta):
         row_id: Optional[str] = None,
         extra_columns_ok: tuple[str, ...] = ("row_id",),
         ignore_extra: Optional[bool] = None,
+        state: Any = None,
     ):
+        """Validate ``df`` against this schema.
+
+        ``state``: arbitrary per-run user state (reference
+        ``Schema(data, state=...)`` → ``schema.context.state``,
+        oblate/contexts.py:42-83). Available to custom validators that
+        declare a second parameter, to ``format_error`` overrides via
+        ``ErrorContext.context``, and afterwards as
+        ``result.context.state``."""
         from .engine import validate as _validate
 
         result = _validate(
@@ -155,6 +164,7 @@ class Schema(metaclass=SchemaMeta):
             row_id=row_id,
             extra_columns_ok=extra_columns_ok,
             ignore_extra=ignore_extra,
+            state=state,
         )
         cls.__schema_post_init__(result)
         return result

@@ -298,7 +298,15 @@ class ExprValidator(Validator):
         self._py_fn = py_fn
 
     def build(self, col: Column, field: Any = None) -> Column:
-        out = self._fn(col)
+        from .contexts import current_schema_context, wants_context
+
+        if wants_context(self._fn):
+            # validator declared (col, ctx): pass the active run's
+            # SchemaContext (None outside a validate() run) — reference
+            # ctx.schema.context.state parity (oblate/contexts.py:42-83)
+            out = self._fn(col, current_schema_context())
+        else:
+            out = self._fn(col)
         if self._returns_message:
             return out
         return F.when(~out, F.lit("Validation failed for this field."))
@@ -326,12 +334,25 @@ class PandasValidator(Validator):
     def build(self, col: Column, field: Any = None) -> Column:
         from pyspark.sql.functions import pandas_udf
 
-        udf = pandas_udf(self._fn, "string")
+        from .contexts import current_schema_context, wants_context
+
+        if wants_context(self._fn):
+            # capture the run's SchemaContext by value (cloudpickle) so
+            # the Arrow workers see the driver-side state snapshot
+            ctx = current_schema_context()
+            fn = self._fn
+            udf = pandas_udf(lambda s: fn(s, ctx), "string")
+        else:
+            udf = pandas_udf(self._fn, "string")
         return udf(col)
 
     def py_check(self, value: Any) -> Optional[str]:
         import pandas as pd
 
+        from .contexts import current_schema_context, wants_context
+
+        if wants_context(self._fn):
+            return self._fn(pd.Series([value]), current_schema_context()).iloc[0]
         return self._fn(pd.Series([value])).iloc[0]
 
 

@@ -332,3 +332,115 @@ def test_update_rejected_cls_pluggable(spark, tmp_path):
             update(t, bad, S, key="id")
     finally:
         config.update_rejected_cls = None
+
+
+# ---------------------------------------------------------------------------
+# per-run user state: SchemaContext.state (reference oblate/contexts.py:42-83,
+# Schema(data, state=...) — docs/source/guide/contexts.rst, guide/schema.rst)
+# ---------------------------------------------------------------------------
+
+
+def test_schema_context_state_roundtrip(spark):
+    """validate(state=...) surfaces the state on result.context, and
+    is_initialized flips once the plan is compiled (reference
+    SchemaContext.is_initialized semantics)."""
+
+    class S(Schema):
+        n = fields.Integer()
+
+    df = typed_df(spark, "row_id string, n long", [("0", 1)])
+    res = S.validate(df, state={"key": "value"})
+    assert res.context is not None
+    assert res.context.state == {"key": "value"}
+    assert res.context.schema is S
+    assert res.context.config is S.__config__
+    assert res.context.is_initialized()
+    # default state is None, like the reference
+    assert S.validate(df).context.state is None
+
+
+def test_expr_validator_reads_state(spark):
+    """A @validate.field method declaring (col, ctx) receives the active
+    run's SchemaContext — the distributed twin of the reference's
+    ctx.schema.context.state reads (docs/source/guide/contexts.rst:75)."""
+
+    class S(Schema):
+        n = fields.Integer()
+
+        @V.field("n")
+        def check_n(col, ctx):
+            # the threshold comes from per-run state, not the class
+            limit = (ctx.state or {}).get("limit", 0)
+            ctx.state["seen_by_validator"] = True
+            return col <= limit
+
+    df = typed_df(spark, "row_id string, n long", [("0", 5), ("1", 50)])
+    state = {"limit": 10}
+    res = S.validate(df, state=state)
+    vm = violations_map(res)
+    assert "0" not in vm
+    assert vm["1"] == [("n", "Validation failed for this field.")]
+    # validators may also WRITE state (driver-side, during compile)
+    assert state["seen_by_validator"] is True
+    # a different run, different state, same class — no cross-run leakage
+    vm2 = violations_map(S.validate(df, state={"limit": 100}))
+    assert vm2 == {}
+
+
+def test_pandas_validator_reads_state(spark):
+    """PandasValidator with a (series, ctx) signature: the context is
+    captured by value into the Arrow kernel closure."""
+    import pandas as pd
+
+    def banned_words(s: pd.Series, ctx) -> pd.Series:
+        banned = set((ctx.state or {}).get("banned", ()))
+        return s.map(
+            lambda v: "Value is banned" if v in banned else None
+        )
+
+    class S(Schema):
+        word = fields.String(validators=[V.PandasValidator(banned_words)])
+
+    df = typed_df(spark, "row_id string, word string", [("0", "ok"), ("1", "bad")])
+    vm = violations_map(S.validate(df, state={"banned": ["bad"]}))
+    assert "0" not in vm
+    assert vm["1"] == [("word", "Value is banned")]
+
+
+def test_format_error_reads_state(spark):
+    """format_error overrides see the run's context via
+    ErrorContext.context (reference ErrorContext -> schema.context.state)."""
+
+    class _StatefulInt(fields.Integer):
+        def format_error(self, error_code, context):
+            from oblate_spark import ErrorCode
+
+            if error_code == ErrorCode.NONE_DISALLOWED and context.context is not None:
+                tag = (context.context.state or {}).get("tag", "?")
+                return f"[{tag}] no nulls"
+            return None
+
+    class S(Schema):
+        n = _StatefulInt(none=False)
+
+    df = typed_df(spark, "row_id string, n long", [("0", None)])
+    vm = violations_map(S.validate(df, state={"tag": "runA"}))
+    assert vm["0"] == [("n", "[runA] no nulls")]
+    # ErrorContext.schema backfills from the run context
+    res = S.validate(df, state=None)
+    assert res.context.schema is S
+
+
+def test_schema_context_copy_semantics():
+    """SchemaContext._copy shallow-copies state and marks the copy
+    initialized (reference contexts.py:79-83)."""
+    from oblate_spark import SchemaContext
+
+    class S(Schema):
+        n = fields.Integer()
+
+    ctx = SchemaContext(S, state={"a": 1})
+    assert not ctx.is_initialized()
+    dup = ctx._copy(S)
+    assert dup.is_initialized()
+    assert dup.state == {"a": 1} and dup.state is not ctx.state
