@@ -388,9 +388,41 @@ def release_report(validation_result: DataFrame) -> None:
         rep.unpersist()
 
 
+def _list_parquet_files(spark, paths: list) -> list:
+    """List ``*.parquet`` under each path via the Hadoop FileSystem API
+    (object-store-safe: resolves file:/hdfs:/s3a:/... through the same
+    connectors Spark's own scans use). Returns (uri, size) tuples."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    out = []
+    for p in paths:
+        jpath = jvm.org.apache.hadoop.fs.Path(str(p).rstrip("/") + "/*.parquet")
+        fs = jpath.getFileSystem(hconf)
+        statuses = fs.globStatus(jpath)
+        if statuses is not None:
+            for st in statuses:
+                out.append((st.getPath().toString(), int(st.getLen())))
+    return out
+
+
+def _open_parquet(fname: str):
+    """Worker-side open of a Hadoop-style URI with pyarrow,
+    single-threaded (the executor already runs one worker per core).
+    ``file:`` URIs are stripped to local paths; remote schemes go
+    through pyarrow's own filesystem resolution (pyarrow.fs / fsspec)."""
+    import pyarrow.parquet as pq
+
+    if fname.startswith("file:"):
+        local = fname[5:]
+        while local.startswith("//"):
+            local = local[1:]
+        return pq.read_table(local, use_threads=False)
+    return pq.read_table(fname, use_threads=False)
+
+
 def image_payload_report_from_files(
     spark,
-    path: str,
+    path,  # str | list[str]; any Hadoop-visible scheme
     *,
     compute_phash: bool = True,
 ) -> DataFrame:
@@ -406,27 +438,30 @@ def image_payload_report_from_files(
     ~400 MB/s regardless of core count. Requires the table to be a plain
     parquet directory (the DataFrame-driven ``image_payload_report``
     stays the composable default).
+
+    ``path`` may be a single directory or a list of directories, on ANY
+    Hadoop-visible filesystem (``file:``, ``hdfs:``, ``s3a:``, ...):
+    listing goes through the Hadoop FileSystem API of the session —
+    exactly what the scan of a real object-store table resolves through
+    — and workers open the returned URIs with pyarrow (its
+    ``pyarrow.fs``/fsspec resolvers handle remote schemes).
     """
-    import glob as _glob
-    import os as _os
-
-    import pandas as pd
-
-    files = sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+    files = _list_parquet_files(spark, [path] if isinstance(path, str) else list(path))
     if not files:
         raise ValueError(f"no parquet files under {path!r}")
     # longest-processing-time-first: schedule big files first so the
     # stage tail is a small file, not a straggler (classic LPT makespan
     # bound; measured ~0.5s off the 128-file stage at local[32])
-    files.sort(key=_os.path.getsize, reverse=True)
+    files.sort(key=lambda fl: fl[1], reverse=True)
+    files = [f for f, _sz in files]
+
+    import pandas as pd
 
     def kernel(iterator):
-        import pyarrow.parquet as pq
-
         meta_cols = ["image_id", "w", "h", "fmt", "caption", "phash"]
         for pdf in iterator:
             for fname in pdf["file"]:
-                tbl = pq.read_table(fname, use_threads=False)  # 32 workers x arrow pool = thrash
+                tbl = _open_parquet(fname)  # 32 workers x arrow pool = thrash -> single-threaded
                 # vectorized Arrow->pandas for the metadata; only the
                 # bytes column needs python objects (decode input)
                 meta = tbl.select(meta_cols).to_pandas(

@@ -150,3 +150,37 @@ def test_malformed_payload_is_violation_not_task_failure(spark):
     report = image_payload_report(df)
     bad = {r["image_id"] for r in report.filter("NOT decode_ok").collect()}
     assert bad == {"zero_bmp", "zero_png"}
+
+
+def test_file_driven_kernel_hadoop_listing(spark, images_df, tmp_path):
+    """image_payload_report_from_files lists via the Hadoop FileSystem
+    API (object-store-safe, not local glob): multi-directory input and
+    scheme-qualified file: URIs both resolve, and the report matches the
+    DataFrame-driven kernel on the same rows."""
+    from pyspark.sql import functions as F
+
+    from oblate_spark.operators.images import (
+        image_payload_report,
+        image_payload_report_from_files,
+    )
+
+    d1, d2 = str(tmp_path / "part1"), str(tmp_path / "part2")
+    par = F.substring("image_id", -1, 1).cast("int") % 2
+    a = images_df.filter(par == 0)
+    b = images_df.filter(par == 1)
+    a.write.mode("overwrite").parquet(d1)
+    b.write.mode("overwrite").parquet(d2)
+
+    # multi-directory list input, scheme-qualified on one of them
+    rep = image_payload_report_from_files(spark, [f"file:{d1}", d2])
+    base = image_payload_report(a.unionByName(b))
+    # the fixture contains duplicate image_ids (uniqueness defects), so
+    # compare sorted multisets of full report rows, not id-keyed dicts
+    key = lambda df: sorted(
+        (r["image_id"], r["decode_ok"], r["w_actual"], r["h_actual"], r["fmt_actual"], r["phash_actual"])
+        for r in df.collect()
+    )
+    assert key(rep) == key(base)
+
+    with pytest.raises(ValueError, match="no parquet files"):
+        image_payload_report_from_files(spark, str(tmp_path / "empty_nowhere"))
