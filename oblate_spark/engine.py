@@ -25,7 +25,7 @@ Catalyst prunes the violations computation where possible.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Optional
+from typing import Any, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -145,7 +145,13 @@ class ValidationResult:
         ``field_name`` may be the attribute name or the load_key.
         Raises RuntimeError for an unknown field, ``FieldNotSet`` when
         the field has no value in this run (column absent, no default)
-        unless ``default`` is given, KeyError for an unknown row_id."""
+        unless ``default`` is given, KeyError for an unknown row_id.
+
+        .. warning:: Each call launches a full-scan Spark job (a
+           distributed table has no O(1) row handle) — this is a
+           parity/debug surface. Looping over row_ids is a job per
+           iteration; use :meth:`get_values_for` to answer N lookups in
+           ONE job."""
         from .errors import FieldNotSet
 
         cls = self.plan.schema_cls
@@ -166,6 +172,35 @@ class ValidationResult:
         if not rows:
             raise KeyError(f"row_id {row_id!r} not found")
         return rows[0]["v"]
+
+    def get_values_for(
+        self, row_ids: Sequence[str], field_name: str, default: Any = _MISSING_SENTINEL
+    ) -> dict:
+        """Batched :meth:`get_value_for`: answers N point lookups in ONE
+        Spark job (a broadcast-hash semi-join against the literal id
+        set). Returns ``{row_id: value}`` for the ids that exist; absent
+        ids are simply missing from the dict (no per-id KeyError).
+        Field-resolution semantics match ``get_value_for``."""
+        from .errors import FieldNotSet
+
+        cls = self.plan.schema_cls
+        fld = cls.__fields__.get(field_name) or cls.__load_fields__.get(field_name)
+        if fld is None:
+            raise RuntimeError(f"Invalid field name {field_name!r}")
+        key = fld.load_key
+        if key not in self.plan.loaded:
+            if default is not _MISSING_SENTINEL:
+                return {str(r): default for r in row_ids}
+            raise FieldNotSet(fld, cls, field_name)
+        ids = [str(r) for r in row_ids]
+        if not ids:
+            return {}
+        rows = (
+            self.annotated.filter(F.col("_row_id").isin(ids))
+            .select(F.col("_row_id").alias("k"), self.plan.loaded[key].alias("v"))
+            .collect()
+        )
+        return {r["k"]: r["v"] for r in rows}
 
 
 def raw_from_violations(rows: list[tuple[str, str, str]]) -> dict:

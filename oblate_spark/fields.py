@@ -870,7 +870,29 @@ class Union(_KernelField):
         return isinstance(dt, T.StringType)  # parallel-try_cast check path
 
     def typed_checks(self, col: Column, dt: Optional[T.DataType] = None) -> list[Column]:
-        if not self.all_primitive() or dt is None:
+        if not self.all_primitive():
+            # Defensible no-check (a relational column's static type IS
+            # one arm) but it must never be SILENT: route through the
+            # same unsupported-type warning the T15 path uses, so a
+            # typed column declared Union(int, List(int)) is visibly
+            # unvalidated. Staged mode still checks via the kernel.
+            if dt is not None:
+                import warnings
+
+                from .schema import config as _config
+
+                if _config.warn_unsupported_types:
+                    names = ", ".join(getattr(t, "__name__", str(t)) for t in self.types)
+                    warnings.warn(
+                        f"Union({names}) on typed column {self.load_key!r} has "
+                        "non-primitive arms: no runtime type check is emitted in "
+                        "typed mode (the column's static type is taken as "
+                        "conformant). Use mode='staged' for full union checking.",
+                        UserWarning,
+                        stacklevel=2,
+                    )
+            return []
+        if dt is None:
             return []
         if any(_dt_conforms(t, dt) for t in self.types):
             return []  # the column's type IS one of the arms

@@ -293,6 +293,7 @@ def duplicate_clusters(
         .distinct()
         .withColumn("cluster_id", F.col("id"))
     )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["src"] == labels["id"])
@@ -320,7 +321,19 @@ def duplicate_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # truncated propagation is NOT converged output: a chain-shaped
+        # component with diameter > max_iter would be silently split
+        # into multiple cluster_ids (and keep_canonical would keep
+        # several "canonical" docs from one group). Raise so callers can
+        # rerun with a higher max_iter — never return wrong labels.
+        raise RuntimeError(
+            f"duplicate_clusters did not converge within max_iter={max_iter} "
+            "rounds; the labels would split components with larger diameter. "
+            "Re-run with a higher max_iter."
+        )
     return labels
 
 

@@ -362,13 +362,17 @@ def categorical_psi_flagged(
 ) -> float:
     """Categorical PSI when both populations live in ONE table: a single
     scan with per-category conditional counts (vs two scans for the
-    two-frame form). Rows matching neither predicate are ignored."""
+    two-frame form). Population rule, IDENTICAL to
+    ``drift_statistics_flagged``: a row matching both predicates counts
+    on the *actual* side only (exclusive when-chain precedence); rows
+    matching neither are ignored."""
+    side = F.when(actual_cond, F.lit(True)).when(expected_cond, F.lit(False))
     rows = (
         df.filter(F.col(col).isNotNull())
         .groupBy(col)
         .agg(
-            F.count(F.when(expected_cond, F.lit(1))).alias("ce"),
-            F.count(F.when(actual_cond, F.lit(1))).alias("ca"),
+            F.count(F.when(side == F.lit(False), F.lit(1))).alias("ce"),
+            F.count(F.when(side == F.lit(True), F.lit(1))).alias("ca"),
         )
         .collect()
     )

@@ -11,10 +11,12 @@ Scale notes:
   correct at any scale, but the shuffle carries every distinct token.
 * ``approx_heavy_hitters`` — Metwally et al.'s space-saving summary per
   partition (constant memory: ``capacity`` counters), merged on the
-  driver. Shuffle-free: only partitions x capacity counter rows move.
-  Guarantees: every value with true count > N/capacity is present, and
-  for reported values true_count <= est <= true_count + err (err
-  returned per row). The classic sketch choice when the token/value
+  driver with the compensated mergeable-summaries rule (Agarwal et al.).
+  Shuffle-free: only partitions x capacity counter rows move.
+  Guarantees, preserved across merges: for reported values
+  true_count <= est <= true_count + err (err returned per row), and a
+  value absent from the result has true count <= the merged summary's
+  minimum estimate. The classic sketch choice when the token/value
   space doesn't fit an exact groupBy.
 """
 
@@ -72,25 +74,40 @@ class _SpaceSaving:
         c[value] = floor + inc
         self.errors[value] = floor
 
+    def floor(self) -> int:
+        """Upper bound on the true count of any value ABSENT from this
+        summary: the minimum counter once the summary has filled (a
+        value seen more often than the min would have evicted it), zero
+        while every seen value still fits."""
+        if len(self.counts) >= self.capacity:
+            return min(self.counts.values())
+        return 0
+
     def merge(self, other: "_SpaceSaving") -> None:
-        """Standard summary merge: sum counts (max error adds), then
-        truncate back to capacity keeping the largest estimates."""
-        for v, cnt in other.counts.items():
-            if v in self.counts:
-                self.counts[v] += cnt
-                self.errors[v] += other.errors[v]
-            else:
-                self.counts[v] = cnt
-                self.errors[v] = other.errors[v]
-        if len(self.counts) > self.capacity:
-            keep = sorted(self.counts, key=self.counts.get, reverse=True)[: self.capacity]
-            dropped_max = max(
-                self.counts[v] for v in self.counts if v not in set(keep)
-            )
-            self.counts = {v: self.counts[v] for v in keep}
-            self.errors = {
-                v: max(self.errors.get(v, 0), dropped_max) for v in keep
-            }
+        """Sound compensated summary merge (Agarwal et al., "Mergeable
+        Summaries": space-saving == Misra-Gries under the est = lower +
+        err isomorphism). A value present in only one summary gets the
+        OTHER summary's floor added — its count there may be anything up
+        to that floor — so the invariants
+
+            est - err <= true_count <= est
+
+        hold for every reported value after any merge tree, and a value
+        absent from the merged summary has true count <= merged floor().
+        Truncation back to capacity keeps the largest estimates; dropped
+        values are <= the kept minimum, so floor() stays a valid absent
+        bound."""
+        m_self, m_other = self.floor(), other.floor()
+        counts: dict = {}
+        errors: dict = {}
+        for v in set(self.counts) | set(other.counts):
+            counts[v] = self.counts.get(v, m_self) + other.counts.get(v, m_other)
+            errors[v] = self.errors.get(v, m_self) + other.errors.get(v, m_other)
+        if len(counts) > self.capacity:
+            keep = sorted(counts, key=counts.get, reverse=True)[: self.capacity]
+            counts = {v: counts[v] for v in keep}
+            errors = {v: errors[v] for v in keep}
+        self.counts, self.errors = counts, errors
 
 
 def approx_heavy_hitters(
@@ -104,20 +121,27 @@ def approx_heavy_hitters(
 
     Per-partition space-saving partials stream through ``mapInPandas``
     (constant executor memory), the driver merges <= partitions x
-    capacity counters. ``est - max_error`` is a guaranteed lower bound
-    on the true count; any value with true count > total/capacity is
-    guaranteed present."""
+    capacity counters — WHOLE summaries at a time (keyed by partition
+    id), never counter rows one by one, so the compensated-merge bounds
+    stay tight. Guarantees, preserved across the merge tree: for every
+    reported value ``est - max_error <= true_count <= est``; a value
+    absent from the result has true count <= the summary's minimum
+    estimate (<= sum(est)/capacity)."""
     import pandas as pd
 
     cap = capacity
 
     def partial(iterator):
+        from pyspark import TaskContext
+
         ss = _SpaceSaving(cap)
         for pdf in iterator:
             for v, c in pdf[col].value_counts(dropna=True).items():
                 ss.add(v, int(c))
+        pid = TaskContext.get().partitionId()
         yield pd.DataFrame(
             {
+                "pid": [pid] * len(ss.counts),
                 "value": list(ss.counts),
                 "cnt": [ss.counts[v] for v in ss.counts],
                 "err": [ss.errors[v] for v in ss.counts],
@@ -126,15 +150,17 @@ def approx_heavy_hitters(
 
     rows = (
         df.select(F.col(col).cast("string").alias(col))
-        .mapInPandas(partial, "value string, cnt bigint, err bigint")
+        .mapInPandas(partial, "pid int, value string, cnt bigint, err bigint")
         .collect()
     )
-    merged = _SpaceSaving(cap)
+    by_pid: dict[int, _SpaceSaving] = {}
     for r in rows:
-        one = _SpaceSaving(cap)
-        one.counts[r["value"]] = int(r["cnt"])
-        one.errors[r["value"]] = int(r["err"])
-        merged.merge(one)
+        ss = by_pid.setdefault(int(r["pid"]), _SpaceSaving(cap))
+        ss.counts[r["value"]] = int(r["cnt"])
+        ss.errors[r["value"]] = int(r["err"])
+    merged = _SpaceSaving(cap)
+    for ss in by_pid.values():
+        merged.merge(ss)
     out = [
         (v, merged.counts[v], merged.errors[v])
         for v in sorted(merged.counts, key=merged.counts.get, reverse=True)

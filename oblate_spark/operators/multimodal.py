@@ -141,14 +141,19 @@ def audio_features(
     deterministic hash-seeded vector (so downstream plumbing always has
     full coverage); with ``allow_stub=False`` undecodable payloads are
     skipped — swap a real decoder into ``decode_wav``'s interface to
-    extend coverage."""
+    extend coverage.
+
+    Every output row carries ``is_stub``: False for really-decoded
+    features, True for hash-seeded fallback vectors — so stub features
+    can never be mistaken for real ones downstream (filter
+    ``~is_stub`` before using the embeddings for anything semantic)."""
     import pandas as pd
 
     def kernel(iterator):
         from ..functions.audiocodecs import audio_feature_vector, decode_wav
 
         for pdf in iterator:
-            ids, feats = [], []
+            ids, feats, stub = [], [], []
             for i, blob in zip(pdf[id_col], pdf[bytes_col]):
                 if blob is None:
                     continue
@@ -156,21 +161,25 @@ def audio_features(
                 try:
                     samples, rate = decode_wav(data)
                     vec = audio_feature_vector(samples, rate, dim).tolist()
+                    is_stub = False
                 except Exception:  # undecodable payload, never a task failure
                     if not allow_stub:
                         continue
                     vec = _stub_vector(data, dim)
+                    is_stub = True
                 ids.append(i)
                 feats.append(vec)
+                stub.append(is_stub)
             yield pd.DataFrame(
                 {
                     id_col: pd.Series(ids, dtype=object),
                     "embedding": pd.Series(feats, dtype=object),
+                    "is_stub": pd.Series(stub, dtype=bool),
                 }
             )
 
     return df.select(id_col, bytes_col).mapInPandas(
-        kernel, f"{id_col} string, embedding array<double>"
+        kernel, f"{id_col} string, embedding array<double>, is_stub boolean"
     )
 
 

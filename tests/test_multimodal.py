@@ -54,7 +54,8 @@ def test_audio_features_stub_plumbing(spark, images_df):
     # (schema, determinism, batch shape) is what's under test
     out = mm.audio_features(images_df, bytes_col="bytes", id_col="image_id", dim=8)
     rows = out.collect()
-    assert out.columns == ["image_id", "embedding"]
+    assert out.columns == ["image_id", "embedding", "is_stub"]
+    assert all(r["is_stub"] for r in rows)  # image bytes are not WAV -> stub vectors, flagged
     assert all(len(r["embedding"]) == 8 for r in rows)
     again = {r["image_id"]: r["embedding"] for r in mm.audio_features(
         images_df, bytes_col="bytes", id_col="image_id", dim=8).collect()}
@@ -141,6 +142,11 @@ def test_audio_features_real_wav_kernel(spark):
         for r in audio_features(df, bytes_col="payload", id_col="clip_id", dim=16).collect()
     }
     assert set(feats) == {"low", "high", "junk"}
+    stubs = {
+        r["clip_id"]: r["is_stub"]
+        for r in audio_features(df, bytes_col="payload", id_col="clip_id", dim=16).collect()
+    }
+    assert stubs == {"low": False, "high": False, "junk": True}
     assert feats["low"][3] < feats["high"][3]  # centroid orders the tones
     assert abs(feats["low"][0] - 1.0) < 1e-9   # real decode: duration 1s
 

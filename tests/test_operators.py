@@ -215,3 +215,88 @@ def test_top_k_tokens_and_heavy_hitters(spark):
     for v, (c, e) in est.items():
         assert c >= exact[v]
         assert c - e <= exact[v]
+
+
+def test_space_saving_merge_bounds_property():
+    """Pure-Python property test of the compensated summary merge
+    (Agarwal et al. mergeable-summaries rule): after building per-chunk
+    summaries from random zipf-ish streams and merging them in arbitrary
+    order, every reported value satisfies est-err <= true <= est and
+    every value ABSENT from the merged summary has true count <= the
+    merged floor()."""
+    import random
+    from collections import Counter
+
+    from oblate_spark.operators.freq import _SpaceSaving
+
+    rng = random.Random(42)
+    for trial in range(25):
+        cap = rng.choice([4, 8, 16])
+        nchunks = rng.randint(2, 6)
+        vocab = [f"v{i}" for i in range(rng.randint(cap, cap * 6))]
+        chunks = []
+        truth: Counter = Counter()
+        for _ in range(nchunks):
+            stream = rng.choices(
+                vocab, weights=[1.0 / (i + 1) for i in range(len(vocab))],
+                k=rng.randint(50, 400),
+            )
+            truth.update(stream)
+            ss = _SpaceSaving(cap)
+            for v in stream:
+                ss.add(v)
+            chunks.append(ss)
+        rng.shuffle(chunks)
+        merged = _SpaceSaving(cap)
+        for ss in chunks:
+            merged.merge(ss)
+        for v, est in merged.counts.items():
+            err = merged.errors[v]
+            assert est >= truth[v], (trial, v)
+            assert est - err <= truth[v], (trial, v)
+        floor = merged.floor()
+        for v, true_cnt in truth.items():
+            if v not in merged.counts:
+                assert true_cnt <= floor, (trial, v, true_cnt, floor)
+
+
+def test_flagged_overlap_semantics_consistent(spark):
+    """A row matching BOTH predicates counts on the actual side only, in
+    both flagged APIs (exclusive when-chain precedence) — regression for
+    the r2 ADVICE inconsistency."""
+    from oblate_spark.operators.drift import (
+        categorical_psi_flagged,
+        drift_statistics_flagged,
+    )
+    from pyspark.sql import functions as F
+
+    # 'both' rows match expected AND actual; exclusive rule -> actual
+    rows = (
+        [("exp", "a")] * 50 + [("exp", "b")] * 50
+        + [("act", "a")] * 60 + [("act", "b")] * 40
+        + [("both", "a")] * 20
+    )
+    df = spark.createDataFrame(rows, "tag string, cat string")
+    is_exp = F.col("tag").isin("exp", "both")
+    is_act = F.col("tag").isin("act", "both")
+
+    got = categorical_psi_flagged(df, col="cat", expected_cond=is_exp, actual_cond=is_act)
+    # expected side must EXCLUDE 'both' rows: e = {a:50, b:50};
+    # actual side includes them: a = {a:80, b:40}
+    import math
+
+    def psi(e, a):
+        et, at = sum(e.values()), sum(a.values())
+        return sum(
+            (a[c] / at - e[c] / et) * math.log((a[c] / at) / (e[c] / et)) for c in e
+        )
+
+    assert abs(got - psi({"a": 50, "b": 50}, {"a": 80, "b": 40})) < 1e-12
+    # the numeric twin under the same predicates agrees on populations:
+    # KS over a 0/1-valued column equals |cdf gap| at the first bin
+    num = df.withColumn("v", F.when(F.col("cat") == "a", 0.0).otherwise(1.0))
+    stats = drift_statistics_flagged(
+        num, col="v", expected_cond=is_exp, actual_cond=is_act,
+        lo=0.0, hi=1.0, nbins_psi=2, nbins_ks=2,
+    )
+    assert abs(stats["ks"] - abs(80 / 120 - 50 / 100)) < 1e-9

@@ -444,3 +444,53 @@ def test_schema_context_copy_semantics():
     dup = ctx._copy(S)
     assert dup.is_initialized()
     assert dup.state == {"a": 1} and dup.state is not ctx.state
+
+
+def test_union_complex_arms_typed_mode_warns(spark):
+    """Typed-mode Union with complex arms emits no runtime check — that
+    must be VISIBLE: a UserWarning fires at plan compile (T15 routing),
+    suppressible via config.warn_unsupported_types."""
+    import warnings
+    from typing import List
+
+    class S(Schema):
+        v = fields.Union(int, List[int])
+
+    df = typed_df(spark, "row_id string, v long", [("0", 1)])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        res = S.validate(df)
+        res.violations.count()
+    msgs = [str(x.message) for x in w if issubclass(x.category, UserWarning)]
+    assert any("non-primitive arms" in m for m in msgs)
+
+    try:
+        config.warn_unsupported_types = False
+        with warnings.catch_warnings(record=True) as w2:
+            warnings.simplefilter("always")
+            S.validate(df).violations.count()
+        assert not [x for x in w2 if "non-primitive arms" in str(x.message)]
+    finally:
+        config.warn_unsupported_types = True
+
+
+def test_get_values_for_batched(spark):
+    """get_values_for answers N lookups in one job and matches
+    get_value_for per id; absent ids are omitted; FieldNotSet/default
+    semantics mirror the scalar surface."""
+
+    class S(Schema):
+        n = fields.Integer()
+        missing = fields.Integer(required=False)
+
+    df = typed_df(spark, "row_id string, n long", [("0", 10), ("1", 20), ("2", 30)])
+    res = S.validate(df)
+    got = res.get_values_for(["0", "2", "zzz"], "n")
+    assert got == {"0": 10, "2": 30}
+    assert got["0"] == res.get_value_for("0", "n")
+    assert res.get_values_for([], "n") == {}
+    with pytest.raises(FieldNotSet):
+        res.get_values_for(["0"], "missing")
+    assert res.get_values_for(["0", "1"], "missing", default=-1) == {"0": -1, "1": -1}
+    with pytest.raises(RuntimeError, match="Invalid field name"):
+        res.get_values_for(["0"], "nope")
