@@ -294,6 +294,7 @@ def validate_image_table(
     materialize: str = "cache",
     checkpoint_dir: Optional[str] = None,
     source_path: Optional[str] = None,
+    max_files: Optional[int] = None,
 ) -> DataFrame:
     """Full north-rule validation of an image+caption table: row-level
     schema checks + payload kernel + salted uniqueness on image_id and
@@ -317,7 +318,9 @@ def validate_image_table(
             # file-driven kernel: workers read their parquet split with
             # pyarrow directly; the multi-KB bytes never cross the
             # JVM->Python socket (the measured feed wall)
-            report = image_payload_report_from_files(df.sparkSession, source_path)
+            report = image_payload_report_from_files(
+                df.sparkSession, source_path, max_files=max_files
+            )
         else:
             report = image_payload_report(df)
         if materialize == "checkpoint":
@@ -425,6 +428,7 @@ def image_payload_report_from_files(
     path,  # str | list[str]; any Hadoop-visible scheme
     *,
     compute_phash: bool = True,
+    max_files: Optional[int] = None,
 ) -> DataFrame:
     """File-driven payload kernel: distribute parquet *file names*, read
     each file with pyarrow inside the Python worker, decode, emit the
@@ -445,10 +449,17 @@ def image_payload_report_from_files(
     exactly what the scan of a real object-store table resolves through
     — and workers open the returned URIs with pyarrow (its
     ``pyarrow.fs``/fsspec resolvers handle remote schemes).
+
+    ``max_files`` truncates the (name-sorted) file list — a sampling /
+    warm-up knob: validate a deterministic subset of a huge table, or
+    pre-warm python workers + codegen on a fraction of the input before
+    a timed run.
     """
     files = _list_parquet_files(spark, [path] if isinstance(path, str) else list(path))
     if not files:
         raise ValueError(f"no parquet files under {path!r}")
+    if max_files is not None:
+        files = sorted(files)[:max_files]
     # longest-processing-time-first: schedule big files first so the
     # stage tail is a small file, not a straggler (classic LPT makespan
     # bound; measured ~0.5s off the 128-file stage at local[32])

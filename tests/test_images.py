@@ -184,3 +184,26 @@ def test_file_driven_kernel_hadoop_listing(spark, images_df, tmp_path):
 
     with pytest.raises(ValueError, match="no parquet files"):
         image_payload_report_from_files(spark, str(tmp_path / "empty_nowhere"))
+
+
+def test_file_driven_kernel_max_files_subset(spark, images_df, tmp_path):
+    """max_files truncates the name-sorted file list deterministically:
+    the subset report equals the rows of exactly those parquet files
+    (the warm-up/sampling knob bench.py uses)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from oblate_spark.operators.images import image_payload_report_from_files
+
+    d = str(tmp_path / "subset")
+    images_df.repartition(4).write.mode("overwrite").parquet(d)
+
+    from oblate_spark.operators.images import _list_parquet_files
+
+    listed = sorted(_list_parquet_files(spark, [d]))[:2]
+    expect_rows = sum(pq.read_table(f[5:] if f.startswith("file:") else f).num_rows
+                      for f, _sz in listed)
+    rep = image_payload_report_from_files(spark, d, max_files=2)
+    assert rep.count() == expect_rows
+    assert 0 < expect_rows < images_df.count()
