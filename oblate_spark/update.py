@@ -51,7 +51,27 @@ def merge_upsert(current: DataFrame, changes: DataFrame, key: str) -> DataFrame:
     change rows would be data loss).
 
     Either way the change-set side is broadcast in the merge — the big
-    table is never shuffled for the merge itself."""
+    table is never shuffled for the merge itself.
+
+    The change-set must have UNIQUE keys (the reference's ``update``
+    takes a dict, unique by construction — oblate/schema.py:385-436): a
+    duplicate key would silently insert duplicate rows (full-row path)
+    or fan out every matching current row (partial path, join
+    multiplication) — both are corruption, so it raises ``ValueError``
+    eagerly. The check aggregates only the key column of the
+    broadcast-sized change-set."""
+    dup = (
+        changes.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(5)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"change-set has duplicate {key} values "
+            f"(e.g. {[r[0] for r in dup]}); an upsert needs one row per key"
+        )
     if set(changes.columns) == set(current.columns):
         changes = changes.select(*current.columns)
         keys = changes.select(key).distinct()

@@ -164,6 +164,26 @@ def test_partial_changeset_unknown_key_raises(spark, tmp_path):
     assert {(r["id"], r["score"]) for r in merged.collect()} == {(1, 50), (2, 99)}
 
 
+def test_duplicate_changeset_keys_raise(spark, tmp_path):
+    """A change-set with duplicate keys must be rejected eagerly: the
+    full-row path would insert duplicate rows and the partial path would
+    fan out the broadcast join — silent corruption either way (the
+    reference's update() takes a dict, unique by construction)."""
+    from oblate_spark.update import merge_upsert
+
+    t = make_table(spark, tmp_path)
+    # partial (column-subset) path
+    dup_partial = spark.createDataFrame([(2, 99), (2, 11)], "id long, score long")
+    with pytest.raises(ValueError, match="duplicate id"):
+        merge_upsert(t.read(), dup_partial, "id")
+    # full-row path
+    dup_full = spark.createDataFrame(
+        [(2, "bob", 99), (2, "bob", 11)], "id long, name string, score long"
+    )
+    with pytest.raises(ValueError, match="duplicate id"):
+        merge_upsert(t.read(), dup_full, "id")
+
+
 def test_set_field_single_field_eager(spark, tmp_path):
     """U2 parity: Field.__set__-style validated single-field mutation
     (reference oblate/fields/base.py:182-196) — eager validation,
