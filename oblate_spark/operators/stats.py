@@ -57,11 +57,23 @@ def column_profile(
         aggs.append(F.min(col).cast("string").alias(f"{c}__min"))
         aggs.append(F.max(col).cast("string").alias(f"{c}__max"))
         aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"))
-        if exact_distinct:
-            aggs.append(F.count_distinct(col).alias(f"{c}__distinct"))
-        else:
+        if not exact_distinct:
             aggs.append(F.approx_count_distinct(col, rsd=approx_rsd).alias(f"{c}__distinct"))
     wide = df.agg(*aggs)
+    if exact_distinct:
+        # one single-distinct aggregate per column, assembled by
+        # crossJoin of 1-row frames — NOT one multi-distinct agg. Spark
+        # plans N distincts in one agg via Expand: the scan output is
+        # multiplied (N+1)x and sort-aggregated on composite keys
+        # (measured 6x slower at sf0.1, and the row multiplication is
+        # the difference between one table-width shuffle and N
+        # distinct-values-only shuffles at 100 TB). Each single-distinct
+        # is rewritten to a two-stage HashAggregate over ONE pruned
+        # column with map-side partial distinct.
+        for c in cols:
+            wide = wide.crossJoin(
+                df.agg(F.count_distinct(F.col(c)).alias(f"{c}__distinct"))
+            )
 
     # unpivot the single wide row into one row per column (stack is a
     # projection — no extra pass over the data)
