@@ -343,9 +343,39 @@ def main() -> None:
     print(json.dumps(result))
 
 
+def _append_run_log(result: dict) -> list[dict]:
+    """Append this run's headline numbers to BENCH/runs.jsonl and return
+    the full log — the repeatability record that survives BASELINE.md
+    regeneration (a single run proves little on a host with
+    multi-minute interference bursts; the log shows the spread)."""
+    sc = result.get("scaling", {})
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "runs.jsonl")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    entry = {
+        "value": result.get("value"),
+        "headline_pairing": sc.get("headline_pairing"),
+        "efficiency": sc.get("efficiency"),
+        "engine_relative": result.get("engine_relative_efficiency"),
+        "saturated_efficiency": sc.get("pairings", {})
+        .get("8->32", {})
+        .get("efficiency"),
+        "n_images": result.get("n_images"),
+    }
+    with open(path, "a") as f:
+        f.write(json.dumps(entry) + "\n")
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                out.append(json.loads(line))
+    return out
+
+
 def _write_baseline_md(result: dict) -> None:
     sc = result.get("scaling", {})
     pairings = sc.get("pairings", {})
+    run_log = _append_run_log(result)
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     # keep the best complete run: host interference bursts last minutes,
@@ -411,6 +441,17 @@ def _write_baseline_md(result: dict) -> None:
         "lo-point samples landed in an interference burst; the",
         "engine-relative column clamps the ceiling denominator at 1.0 so",
         "noise can only understate the engine.)",
+        "",
+        "Repeatability — every bench invocation with a scaling sweep",
+        "appends its headline numbers to BENCH/runs.jsonl; all recorded",
+        "runs (this table survives best-run regeneration):",
+        "",
+        "| run | headline eff | engine-relative | saturated 8->32 eff | img/s @32 |",
+        "|---|---|---|---|---|",
+    ] + [
+        f"| {i + 1} | {r.get('efficiency')} | {r.get('engine_relative')} | "
+        f"{r.get('saturated_efficiency')} | {r.get('value')} |"
+        for i, r in enumerate(run_log)
     ] + [
         "",
         "| metric | value |",
