@@ -22,7 +22,7 @@ from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["ResumableRun", "resumable_validate_images"]
+__all__ = ["ResumableRun", "resumable_validate_images", "IncrementalValidator"]
 
 
 class ResumableRun:
@@ -108,6 +108,83 @@ class ResumableRun:
     def output(self) -> DataFrame:
         dirs = [v["output"] for v in self.manifest()["groups"].values() if v.get("done")]
         return self.spark.read.parquet(*dirs)
+
+
+class IncrementalValidator:
+    """Continuous-ingest validation over a SnapshotTable: validate ONLY
+    rows appended since the last validated snapshot.
+
+    A continuously ingested 10^12-row table cannot be revalidated per
+    commit; the unit of work must be the ingest batch. Each call to
+    ``validate_new``:
+
+    1. reads the append-delta between the validated watermark and the
+       table's current snapshot (``SnapshotTable.read_incremental`` —
+       the stand-in for an Iceberg incremental scan),
+    2. runs the schema plan on just those rows, persisting violations
+       under ``run_dir/upto-<sid>/``,
+    3. atomically advances the watermark file to the validated snapshot
+       — crash between (2) and (3) re-validates the same batch on the
+       next call (at-least-once; outputs are per-snapshot-range dirs,
+       so a retry overwrites its own output, never double-counts).
+    """
+
+    def __init__(self, table, schema_cls, run_dir: str, **validate_kw) -> None:
+        self.table = table
+        self.schema_cls = schema_cls
+        self.run_dir = run_dir
+        self.validate_kw = validate_kw
+        os.makedirs(run_dir, exist_ok=True)
+
+    def _state_path(self) -> str:
+        return os.path.join(self.run_dir, "watermark.json")
+
+    def last_validated(self) -> Optional[int]:
+        p = self._state_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)["last_validated"]
+        return None
+
+    def pending(self) -> Optional[tuple[Optional[int], int]]:
+        """(from_snapshot, to_snapshot) not yet validated, or None."""
+        current = self.table.current_snapshot_id()
+        if current is None:
+            return None
+        last = self.last_validated()
+        if last == current:
+            return None
+        return (last, current)
+
+    def validate_new(self) -> Optional[dict]:
+        """Validate the pending append range; returns {from, to, rows,
+        violations, output} or None when already up to date."""
+        span = self.pending()
+        if span is None:
+            return None
+        last, current = span
+        if last is None:
+            batch = self.table.read(current)  # first run: whole table
+        else:
+            batch = self.table.read_incremental(
+                from_snapshot=last, to_snapshot=current
+            )
+        res = self.schema_cls.validate(batch, **self.validate_kw)
+        out_dir = os.path.join(self.run_dir, f"upto-{current:05d}")
+        res.violations.write.mode("overwrite").parquet(out_dir)
+        written = self.table.spark.read.parquet(out_dir)
+        entry = {
+            "from": last,
+            "to": current,
+            "rows": batch.count(),
+            "violations": written.count(),
+            "output": out_dir,
+        }
+        tmp = self._state_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"last_validated": current, **{k: v for k, v in entry.items() if k != "output"}}, f)
+        os.replace(tmp, self._state_path())
+        return entry
 
 
 def resumable_validate_images(

@@ -2,9 +2,18 @@
 
 The sandbox has no Iceberg runtime jar, so this module implements the
 subset of snapshot semantics the engine relies on — atomic commit,
-time-travel reads, rollback — as parquet directories plus a JSON
-manifest, with the same API an Iceberg-backed implementation would
-expose (swap-in is a config change, not a code change; SURVEY.md §7.3).
+time-travel reads, rollback, O(batch) delta appends with incremental
+reads — as parquet directories plus a JSON manifest, with the same API
+an Iceberg-backed implementation would expose (swap-in is a config
+change, not a code change; SURVEY.md §7.3).
+
+``append()`` commits only the new rows (Iceberg append: new data files
+plus a manifest entry, never a table rewrite) — the property that makes
+a continuously ingested 10^12-row table writable. ``read()`` assembles
+a delta snapshot's parent chain in one multi-path scan;
+``read_incremental(from, to)`` returns exactly the appended rows
+(incremental-scan parity) and feeds ``checkpoint.IncrementalValidator``
+so validation cost tracks ingest volume, not table size.
 
 Commit protocol (write-audit-publish):
 
@@ -115,8 +124,57 @@ class SnapshotTable:
         self._publish_manifest(manifest)  # publish
         return new_id
 
+    def append(self, df: DataFrame, *, properties: Optional[dict] = None) -> int:
+        """Commit ``df`` as a DELTA snapshot: only the new rows are
+        written; the snapshot's logical content is parent content + new
+        rows (Iceberg append semantics — new data files plus a manifest
+        entry, never a table rewrite). This is what makes a continuously
+        ingested 10^12-row table writable: commit cost is O(batch), not
+        O(table). Reads assemble the parent chain (all parquet dirs in
+        one multi-path scan); ``expire_snapshots`` keeps chain ancestors
+        alive as long as a live snapshot references them."""
+        manifest = self._read_manifest()
+        if manifest["current"] is None:
+            return self.write(df, operation="append", properties=properties)
+        new_id = max((s["id"] for s in manifest["snapshots"]), default=0) + 1
+        snap_dir = self._snap_dir(new_id)
+        df.write.mode("overwrite").parquet(snap_dir)  # audit target
+        manifest["snapshots"].append(
+            {
+                "id": new_id,
+                "parent": manifest["current"],
+                "operation": "append",
+                "delta": True,
+                "properties": properties or {},
+            }
+        )
+        manifest["current"] = new_id
+        self._publish_manifest(manifest)  # publish
+        return new_id
+
+    def _chain_dirs(self, m: dict, sid: int) -> list[str]:
+        """Parquet dirs making up snapshot ``sid``'s logical content:
+        walk parent pointers while the snapshot is a delta, stopping at
+        (and including) the first full snapshot."""
+        by_id = {s["id"]: s for s in m["snapshots"]}
+        dirs, cur = [], sid
+        while cur is not None:
+            s = by_id.get(cur)
+            if s is None:
+                raise ValueError(
+                    f"snapshot {sid} references expired ancestor {cur}; "
+                    "chain is broken"
+                )
+            dirs.append(self._snap_dir(cur))
+            if not s.get("delta"):
+                break
+            cur = s["parent"]
+        return dirs
+
     def read(self, snapshot_id: Optional[int] = None) -> DataFrame:
-        """Read the current (or a historical) snapshot — time travel."""
+        """Read the current (or a historical) snapshot — time travel.
+        Delta snapshots are assembled from their parent chain in ONE
+        multi-path parquet scan (no unions, no extra jobs)."""
         m = self._read_manifest()
         sid = snapshot_id if snapshot_id is not None else m["current"]
         if sid is None:
@@ -124,7 +182,38 @@ class SnapshotTable:
         known = {s["id"] for s in m["snapshots"]}
         if sid not in known:
             raise ValueError(f"unknown snapshot id {sid} (known: {sorted(known)})")
-        return self.spark.read.parquet(self._snap_dir(sid))
+        return self.spark.read.parquet(*self._chain_dirs(m, sid))
+
+    def read_incremental(
+        self, *, from_snapshot: int, to_snapshot: Optional[int] = None
+    ) -> DataFrame:
+        """Rows ADDED after ``from_snapshot`` up to ``to_snapshot``
+        (default current) — Iceberg incremental-scan parity. Only
+        defined along an append (delta) chain: hitting a full
+        (overwrite/merge) snapshot in between raises, because a rewrite
+        has no row-level added-set without a diff. This is the input to
+        incremental validation: validate each ingest batch, never
+        rescan the table."""
+        m = self._read_manifest()
+        to_sid = to_snapshot if to_snapshot is not None else m["current"]
+        by_id = {s["id"]: s for s in m["snapshots"]}
+        for sid in (from_snapshot, to_sid):
+            if sid not in by_id:
+                raise ValueError(f"unknown snapshot id {sid}")
+        dirs, cur = [], to_sid
+        while cur != from_snapshot:
+            s = by_id.get(cur)
+            if s is None or not s.get("delta"):
+                raise ValueError(
+                    f"no pure append chain from {from_snapshot} to {to_sid}: "
+                    f"snapshot {cur} is a full rewrite or expired"
+                )
+            dirs.append(self._snap_dir(cur))
+            cur = s["parent"]
+        if not dirs:
+            df = self.read(to_sid)
+            return df.limit(0)
+        return self.spark.read.parquet(*dirs)
 
     def rollback(self, snapshot_id: int) -> None:
         """Point the table back at an earlier snapshot (data retained)."""
@@ -135,11 +224,24 @@ class SnapshotTable:
         self._publish_manifest(m)
 
     def expire_snapshots(self, keep_last: int = 2) -> list[int]:
-        """Delete data of all but the newest ``keep_last`` snapshots
-        (never the current one). Returns expired ids."""
+        """Drop all but the newest ``keep_last`` snapshots (never the
+        current one) from the manifest and delete data dirs that are no
+        longer referenced. A delta snapshot's content lives in its
+        ancestors' dirs, so a dir is deletable only when NO kept
+        snapshot's parent chain reaches it (Iceberg expires snapshots
+        but keeps data files still referenced by live ones). Returns
+        the expired snapshot ids."""
         m = self._read_manifest()
         ids = [s["id"] for s in m["snapshots"]]
-        keep = set(ids[-keep_last:]) | {m["current"]}
+        by_id = {s["id"]: s for s in m["snapshots"]}
+        keep: set[int] = set()
+        for sid in set(ids[-keep_last:]) | {m["current"]}:
+            cur = sid  # a kept delta keeps its whole ancestor chain live
+            while cur is not None and cur in by_id and cur not in keep:
+                keep.add(cur)
+                if not by_id[cur].get("delta"):
+                    break
+                cur = by_id[cur]["parent"]
         expired = []
         for s in list(m["snapshots"]):
             if s["id"] not in keep:

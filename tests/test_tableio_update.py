@@ -228,3 +228,77 @@ def test_resumable_run_refuses_drifted_source(spark, tmp_path):
     r2 = ResumableRun(spark, str(src), run_dir, group_size=2)
     with pytest.raises(RuntimeError, match="refusing to resume"):
         r2.run(lambda df: df.selectExpr("id", "v + 1 AS v2"))
+
+
+# ---------------------------------------------------------------------------
+# delta appends / incremental reads (Iceberg append + incremental-scan parity)
+# ---------------------------------------------------------------------------
+
+
+def _rows(df):
+    return sorted((r["id"], r["score"]) for r in df.select("id", "score").collect())
+
+
+def test_append_is_delta_and_reads_assemble_chain(spark, tmp_path):
+    """append() writes only the batch; read() of a delta snapshot is the
+    parent chain's content; time travel still sees each boundary."""
+    t = make_table(spark, tmp_path)  # snap 1: ids 1,2
+    s2 = t.append(spark.createDataFrame([(3, "carol", 70)], "id long, name string, score long"))
+    s3 = t.append(spark.createDataFrame([(4, "dave", 80)], "id long, name string, score long"))
+    assert _rows(t.read()) == [(1, 50), (2, 60), (3, 70), (4, 80)]
+    assert _rows(t.read(s2)) == [(1, 50), (2, 60), (3, 70)]
+    assert _rows(t.read(1)) == [(1, 50), (2, 60)]
+    # the delta snapshot's own dir holds ONLY the new rows (O(batch) commit)
+    only_new = spark.read.parquet(t._snap_dir(s3))
+    assert _rows(only_new) == [(4, 80)]
+
+
+def test_read_incremental_exact_added_rows(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    s2 = t.append(spark.createDataFrame([(3, "carol", 70)], "id long, name string, score long"))
+    s3 = t.append(spark.createDataFrame([(4, "dave", 80)], "id long, name string, score long"))
+    assert _rows(t.read_incremental(from_snapshot=1, to_snapshot=s2)) == [(3, 70)]
+    assert _rows(t.read_incremental(from_snapshot=1)) == [(3, 70), (4, 80)]
+    assert t.read_incremental(from_snapshot=s3).count() == 0
+    # a full rewrite breaks the append chain -> explicit error, not a diff
+    t.write(t.read())  # overwrite snapshot s4
+    with pytest.raises(ValueError, match="append chain"):
+        t.read_incremental(from_snapshot=s3)
+
+
+def test_expire_keeps_ancestors_of_live_deltas(spark, tmp_path):
+    """expire_snapshots must never delete a dir a kept delta still
+    reads through (Iceberg expires snapshots, not referenced files)."""
+    t = make_table(spark, tmp_path)  # snap 1 (full)
+    t.append(spark.createDataFrame([(3, "carol", 70)], "id long, name string, score long"))
+    s3 = t.append(spark.createDataFrame([(4, "dave", 80)], "id long, name string, score long"))
+    expired = t.expire_snapshots(keep_last=1)
+    assert expired == []  # 1 and 2 are chain ancestors of kept s3
+    assert _rows(t.read(s3)) == [(1, 50), (2, 60), (3, 70), (4, 80)]
+    # a full rewrite cuts the chain; older snapshots then do expire
+    t.write(t.read())
+    expired = t.expire_snapshots(keep_last=1)
+    assert set(expired) == {1, 2, 3}
+    assert not os.path.exists(t._snap_dir(1))
+    assert _rows(t.read()) == [(1, 50), (2, 60), (3, 70), (4, 80)]
+
+
+def test_incremental_validator_validates_only_new_rows(spark, tmp_path):
+    from oblate_spark.checkpoint import IncrementalValidator
+
+    t = make_table(spark, tmp_path)  # ids 1,2 valid
+    iv = IncrementalValidator(
+        t, Users, str(tmp_path / "ivrun"), row_id="id", extra_columns_ok=("name",)
+    )
+    first = iv.validate_new()  # first run: whole table
+    assert first["rows"] == 2 and first["violations"] == 0
+    assert iv.validate_new() is None  # up to date
+
+    # ingest a bad batch: score out of range
+    t.append(spark.createDataFrame([(3, "x", 999)], "id long, name string, score long"))
+    nxt = iv.validate_new()
+    assert nxt["rows"] == 1  # ONLY the appended row was validated
+    assert nxt["violations"] == 1
+    viol = spark.read.parquet(nxt["output"])
+    assert [r["row_id"] for r in viol.collect()] == ["3"]
+    assert iv.pending() is None
