@@ -127,13 +127,31 @@ class IncrementalValidator:
        — crash between (2) and (3) re-validates the same batch on the
        next call (at-least-once; outputs are per-snapshot-range dirs,
        so a retry overwrites its own output, never double-counts).
+
+    ``unique_keys`` adds cross-batch uniqueness: each batch's keys are
+    checked against the pre-batch table content through a broadcast
+    semi-join (the table streams, never shuffles —
+    ``stats.incremental_uniqueness_violations``), because validating
+    only the delta would otherwise miss a new row reusing an OLD
+    image_id/phash.
     """
 
-    def __init__(self, table, schema_cls, run_dir: str, **validate_kw) -> None:
+    def __init__(
+        self,
+        table,
+        schema_cls,
+        run_dir: str,
+        *,
+        unique_keys: Optional[list] = None,
+        **validate_kw,
+    ) -> None:
         self.table = table
         self.schema_cls = schema_cls
         self.run_dir = run_dir
+        self.unique_keys = list(unique_keys or [])
         self.validate_kw = validate_kw
+        if self.unique_keys and not validate_kw.get("row_id"):
+            raise ValueError("unique_keys requires row_id in validate kwargs")
         os.makedirs(run_dir, exist_ok=True)
 
     def _state_path(self) -> str:
@@ -170,8 +188,32 @@ class IncrementalValidator:
                 from_snapshot=last, to_snapshot=current
             )
         res = self.schema_cls.validate(batch, **self.validate_kw)
+        violations = res.violations
+        if self.unique_keys:
+            from .operators.stats import (
+                incremental_uniqueness_violations,
+                multi_key_uniqueness_violations,
+            )
+
+            row_id = self.validate_kw["row_id"]
+            if last is None:  # first run: the whole table IS the batch
+                uniq = multi_key_uniqueness_violations(
+                    batch.select(row_id, *self.unique_keys),
+                    self.unique_keys,
+                    row_id=row_id,
+                )
+            else:
+                uniq = incremental_uniqueness_violations(
+                    batch, self.table.read(last), self.unique_keys, row_id=row_id
+                )
+            violations = violations.unionByName(
+                uniq.select(
+                    "row_id", "field_key", "error_code", "message", "value_repr",
+                    F.lit(-1).alias("partition_id"),  # table-level check
+                )
+            )
         out_dir = os.path.join(self.run_dir, f"upto-{current:05d}")
-        res.violations.write.mode("overwrite").parquet(out_dir)
+        violations.write.mode("overwrite").parquet(out_dir)
         written = self.table.spark.read.parquet(out_dir)
         entry = {
             "from": last,

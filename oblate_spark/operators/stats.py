@@ -31,6 +31,7 @@ __all__ = [
     "duplicate_keys",
     "uniqueness_violations",
     "multi_key_uniqueness_violations",
+    "incremental_uniqueness_violations",
     "referential_violations",
 ]
 
@@ -253,3 +254,62 @@ def multi_key_uniqueness_violations(
             F.lit(None).cast("string").alias("value_repr"),
         )
     )
+
+
+def incremental_uniqueness_violations(
+    batch: DataFrame,
+    history: DataFrame,
+    keys: Sequence[str],
+    *,
+    row_id: str,
+) -> DataFrame:
+    """Uniqueness violations for an APPEND BATCH: duplicates within the
+    batch plus collisions against the already-committed table — without
+    ever shuffling the table.
+
+    Validating only the delta (checkpoint.IncrementalValidator) would
+    otherwise miss a new row that reuses an OLD image_id/phash. The
+    table side is probed with one column-pruned scan per key through a
+    broadcast semi-join against the (small) batch key set, so the big
+    side streams map-side only — no shuffle, no sort. Colliding key
+    values (normally tiny) broadcast back onto the batch to restore row
+    lineage. At 10^12 rows the same shape holds: broadcast the delta,
+    stream the table; bucketing the table by key or a bloom index turns
+    the probe scan into partial reads, but never changes the plan shape.
+
+    Emits the engine's violation contract (row_id, field_key,
+    error_code, message, value_repr): ``unique.duplicate`` within the
+    batch, ``unique.exists`` against history.
+    """
+    parts = [
+        multi_key_uniqueness_violations(
+            batch.select(row_id, *keys), keys, row_id=row_id
+        )
+    ]
+    for k in keys:
+        batch_keys = batch.select(k).where(F.col(k).isNotNull()).distinct()
+        collided = (
+            history.select(k)
+            .join(F.broadcast(batch_keys), on=k, how="leftsemi")
+            .distinct()
+        )
+        parts.append(
+            batch.select(F.col(row_id).cast("string").alias("row_id"), k)
+            .join(F.broadcast(collided), on=k)
+            .select(
+                "row_id",
+                F.lit(k).alias("field_key"),
+                F.lit("unique.exists").alias("error_code"),
+                F.concat(
+                    F.lit("Value for unique key ("),
+                    F.lit(k),
+                    F.lit(") already present in table: "),
+                    F.col(k).cast("string"),
+                ).alias("message"),
+                F.col(k).cast("string").alias("value_repr"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -302,3 +302,38 @@ def test_incremental_validator_validates_only_new_rows(spark, tmp_path):
     viol = spark.read.parquet(nxt["output"])
     assert [r["row_id"] for r in viol.collect()] == ["3"]
     assert iv.pending() is None
+
+
+def test_incremental_uniqueness_cross_batch(spark, tmp_path):
+    """A delta batch reusing an OLD key must be flagged even though only
+    the delta is validated: unique.exists vs history, unique.duplicate
+    within the batch; the history side must never sort-merge (broadcast
+    semi-join of the small batch keys)."""
+    from oblate_spark.checkpoint import IncrementalValidator
+    from oblate_spark.operators.stats import incremental_uniqueness_violations
+
+    t = make_table(spark, tmp_path)  # ids 1,2
+    iv = IncrementalValidator(
+        t, Users, str(tmp_path / "ivrun"), unique_keys=["id"],
+        row_id="id", extra_columns_ok=("name",),
+    )
+    assert iv.validate_new()["violations"] == 0
+
+    # batch: id 2 collides with history; id 7 duplicated in-batch
+    t.append(spark.createDataFrame(
+        [(2, "eve", 10), (7, "fred", 20), (7, "gina", 30)],
+        "id long, name string, score long",
+    ))
+    r = iv.validate_new()
+    viol = spark.read.parquet(r["output"])
+    codes = {(row["row_id"], row["error_code"]) for row in viol.collect()}
+    assert ("2", "unique.exists") in codes
+    assert ("7", "unique.duplicate") in codes
+    assert not any(c == "unique.exists" for rid, c in codes if rid == "7")
+
+    # plan shape: big side streams through a broadcast semi-join
+    plan_df = incremental_uniqueness_violations(
+        t.read_incremental(from_snapshot=1), t.read(1), ["id"], row_id="id"
+    )
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
