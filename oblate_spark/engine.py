@@ -177,8 +177,10 @@ class ValidationResult:
         self, row_ids: Sequence[str], field_name: str, default: Any = _MISSING_SENTINEL
     ) -> dict:
         """Batched :meth:`get_value_for`: answers N point lookups in ONE
-        Spark job (a broadcast-hash semi-join against the literal id
-        set). Returns ``{row_id: value}`` for the ids that exist; absent
+        Spark job — an ``IN``-list predicate on the id column, which
+        Catalyst pushes into the scan (for very large id sets a
+        broadcast semi-join would replace it; the job count is the same).
+        Returns ``{row_id: value}`` for the ids that exist; absent
         ids are simply missing from the dict (no per-id KeyError).
         Field-resolution semantics match ``get_value_for``."""
         from .errors import FieldNotSet
