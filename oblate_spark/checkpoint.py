@@ -22,7 +22,12 @@ from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["ResumableRun", "resumable_validate_images", "IncrementalValidator"]
+__all__ = [
+    "ResumableRun",
+    "resumable_validate_images",
+    "IncrementalValidator",
+    "incremental_validate_images",
+]
 
 
 class ResumableRun:
@@ -134,24 +139,37 @@ class IncrementalValidator:
     ``stats.incremental_uniqueness_violations``), because validating
     only the delta would otherwise miss a new row reusing an OLD
     image_id/phash.
+
+    ``job`` (instead of ``schema_cls``) plugs in any violations producer
+    ``batch_df -> violations_df`` — e.g. the full image payload kernel
+    (``incremental_validate_images`` below); ``unique_keys``/``row_id``
+    compose with it unchanged.
     """
 
     def __init__(
         self,
         table,
-        schema_cls,
-        run_dir: str,
+        schema_cls=None,
+        run_dir: str = "",
         *,
+        job: Optional[Callable[[DataFrame], DataFrame]] = None,
         unique_keys: Optional[list] = None,
+        row_id: Optional[str] = None,
         **validate_kw,
     ) -> None:
+        if (schema_cls is None) == (job is None):
+            raise ValueError("provide exactly one of schema_cls or job")
+        if not run_dir:
+            raise ValueError("run_dir is required")
         self.table = table
         self.schema_cls = schema_cls
+        self.job = job
         self.run_dir = run_dir
         self.unique_keys = list(unique_keys or [])
+        self.row_id = row_id
         self.validate_kw = validate_kw
-        if self.unique_keys and not validate_kw.get("row_id"):
-            raise ValueError("unique_keys requires row_id in validate kwargs")
+        if self.unique_keys and not row_id:
+            raise ValueError("unique_keys requires row_id")
         os.makedirs(run_dir, exist_ok=True)
 
     def _state_path(self) -> str:
@@ -187,15 +205,20 @@ class IncrementalValidator:
             batch = self.table.read_incremental(
                 from_snapshot=last, to_snapshot=current
             )
-        res = self.schema_cls.validate(batch, **self.validate_kw)
-        violations = res.violations
+        if self.job is not None:
+            violations = self.job(batch)
+        else:
+            res = self.schema_cls.validate(
+                batch, row_id=self.row_id, **self.validate_kw
+            )
+            violations = res.violations
         if self.unique_keys:
             from .operators.stats import (
                 incremental_uniqueness_violations,
                 multi_key_uniqueness_violations,
             )
 
-            row_id = self.validate_kw["row_id"]
+            row_id = self.row_id
             if last is None:  # first run: the whole table IS the batch
                 uniq = multi_key_uniqueness_violations(
                     batch.select(row_id, *self.unique_keys),
@@ -227,6 +250,37 @@ class IncrementalValidator:
             json.dump({"last_validated": current, **{k: v for k, v in entry.items() if k != "output"}}, f)
         os.replace(tmp, self._state_path())
         return entry
+
+
+def incremental_validate_images(
+    table, run_dir: str, *, phash_tolerance: int = 0
+) -> IncrementalValidator:
+    """The north-star ingest loop on an image+caption SnapshotTable:
+    each append batch runs the FULL validation — row-level schema checks
+    + payload kernel (decode, dims/fmt consistency, phash recompute) —
+    on just the new rows, plus cross-batch uniqueness of image_id and
+    phash against the committed table (broadcast semi-join; the table
+    never rescans its payload bytes, only its two key columns).
+
+    Cost per ingest batch: O(batch) decode work + one column-pruned
+    key-probe scan of the table — never O(table) kernel work. Call
+    ``validate_new()`` after each commit (or on a schedule)."""
+    from .operators.images import validate_image_table
+
+    def job(batch: DataFrame) -> DataFrame:
+        # in-batch uniqueness is covered by the cross-batch check the
+        # validator adds (unique.duplicate within the batch); disable
+        # the kernel's own whole-input uniqueness pass
+        return validate_image_table(batch, phash_tolerance=phash_tolerance,
+                                    check_unique=False)
+
+    return IncrementalValidator(
+        table,
+        run_dir=run_dir,
+        job=job,
+        unique_keys=["image_id", "phash"],
+        row_id="image_id",
+    )
 
 
 def resumable_validate_images(
