@@ -478,9 +478,11 @@ def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest sketch quantiles, oracle-gated by tolerance booleans: the
     sketch's estimate must sit within 0.5% of the column's value range of
     the EXACT quantile (computed by Spark's sort-based ``percentile``).
-    DuckDB's side of the oracle derives the same booleans from its exact
-    ``quantile_cont`` — both sides emit (quantile, within_bounds), so a
-    drifting sketch breaks the hash match."""
+    The tolerance comparison runs entirely Spark-side; the DuckDB oracle
+    contributes the EXPECTED-VERDICT constant rows (quantile, true) — a
+    golden-expected gate, not an independent recomputation (DuckDB never
+    sees the sketch values, so it cannot derive the booleans itself). A
+    drifting sketch flips a boolean and breaks the hash match."""
     from oblate_spark.operators.drift import tdigest_quantiles
 
     li = _read(spark, sf_dir, "lineitem")

@@ -130,8 +130,11 @@ class IncrementalValidator:
        under ``run_dir/upto-<sid>/``,
     3. atomically advances the watermark file to the validated snapshot
        — crash between (2) and (3) re-validates the same batch on the
-       next call (at-least-once; outputs are per-snapshot-range dirs,
-       so a retry overwrites its own output, never double-counts).
+       next call (at-least-once). Outputs are per-snapshot-range dirs;
+       before each attempt, dirs past the watermark (uncommitted
+       leftovers of a crashed attempt) are deleted, so a reader
+       aggregating ``upto-*`` never double-counts a batch even when a
+       new append landed between the crash and the retry.
 
     ``unique_keys`` adds cross-batch uniqueness: each batch's keys are
     checked against the pre-batch table content through a broadcast
@@ -199,6 +202,20 @@ class IncrementalValidator:
         if span is None:
             return None
         last, current = span
+        # drop UNCOMMITTED outputs from a crashed attempt: an upto-<sid>
+        # dir with sid past the watermark was written but never
+        # committed. If a new append landed before the retry, the retry
+        # writes upto-<newer> covering those rows again and the stale
+        # dir would double-count them for any upto-* aggregating reader.
+        import shutil
+
+        for d in glob.glob(os.path.join(self.run_dir, "upto-*")):
+            try:
+                sid = int(os.path.basename(d).split("-", 1)[1])
+            except (IndexError, ValueError):
+                continue
+            if last is None or sid > last:
+                shutil.rmtree(d, ignore_errors=True)
         if last is None:
             batch = self.table.read(current)  # first run: whole table
         else:

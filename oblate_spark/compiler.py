@@ -95,6 +95,13 @@ def _make_kernel_udf(fld: Field):
     is_object = isinstance(fld, Object)
     schema_cls = fld.schema_cls if is_object else None
     invalid_msg = fld.invalid_message if is_object else None
+    # snapshot the run's SchemaContext NOW (plan compile, driver-side):
+    # the kernel executes in Arrow workers where the ContextVar is unset
+    # — context-aware validators must see the compile-time state via the
+    # closure (same capture-by-value rule as PandasValidator.build)
+    from .contexts import current_schema_context
+
+    ctx = current_schema_context()
 
     def kern(s):
         out: list = []
@@ -113,7 +120,7 @@ def _make_kernel_udf(fld: Field):
                         [{"key": "", "code": ErrorCode.OBJECT_INVALID_DATATYPE, "message": invalid_msg}]
                     )
                     continue
-                errs = validate_mapping(schema_cls, value)
+                errs = validate_mapping(schema_cls, value, ctx=ctx)
             else:
                 _, errs = load_field_value(fld, value)
             out.append([{"key": k, "code": c, "message": m} for (k, c, m) in errs])

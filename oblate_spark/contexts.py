@@ -87,18 +87,24 @@ def _reset_current(token: contextvars.Token) -> None:
 
 
 def wants_context(fn: Callable) -> bool:
-    """True if ``fn`` declares a second positional parameter (the
-    SchemaContext) after its Column/Series argument."""
+    """True if ``fn`` declares a second REQUIRED positional parameter
+    (the SchemaContext) after its Column/Series argument.
+
+    Only a required (default-less) second positional opts in: a
+    validator like ``lambda col, lo=0: col >= lo`` keeps its historical
+    one-argument call (the default is the author's own parameter, not a
+    context slot), and ``*args`` signatures are never treated as a
+    context request — both would otherwise receive a SchemaContext in a
+    slot that expects user data."""
     try:
         sig = inspect.signature(fn)
     except (TypeError, ValueError):  # builtins / C callables
         return False
-    kinds = [p.kind for p in sig.parameters.values()]
-    if inspect.Parameter.VAR_POSITIONAL in kinds:
-        return True
-    positional = [
-        k
-        for k in kinds
-        if k in (inspect.Parameter.POSITIONAL_ONLY, inspect.Parameter.POSITIONAL_OR_KEYWORD)
+    required_positional = [
+        p
+        for p in sig.parameters.values()
+        if p.kind
+        in (inspect.Parameter.POSITIONAL_ONLY, inspect.Parameter.POSITIONAL_OR_KEYWORD)
+        and p.default is inspect.Parameter.empty
     ]
-    return len(positional) >= 2
+    return len(required_positional) >= 2

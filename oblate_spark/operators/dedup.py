@@ -279,7 +279,14 @@ def duplicate_clusters(
 
     Only ids appearing in ``pairs`` are returned (singletons are their
     own trivial cluster by definition).
+
+    Convergence is established only by a quiet round (no label changed),
+    so the loop needs headroom: propagation that is still changing
+    labels on round ``max_iter`` raises rather than returning possibly
+    split components — raise ``max_iter`` for chain-shaped graphs.
     """
+    if max_iter < 1:
+        raise ValueError("max_iter must be >= 1")
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
         edges.unionByName(

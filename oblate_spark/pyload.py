@@ -108,10 +108,14 @@ def load_field_value(field: Any, value: Any) -> Tuple[Any, List[Err]]:
     return value, []
 
 
-def validate_mapping(schema_cls: Any, data: Any) -> List[Err]:
+def validate_mapping(schema_cls: Any, data: Any, ctx: Any = None) -> List[Err]:
     """Validate a raw mapping against a Schema class — the Python twin of
     the plan's row pipeline, for nested Objects inside the Arrow kernel.
-    Reproduces reference oblate/schema.py:170-284 ordering and messages."""
+    Reproduces reference oblate/schema.py:170-284 ordering and messages.
+
+    ``ctx`` is the compile-time SchemaContext snapshot captured into the
+    kernel closure — inside an Arrow worker the driver's ContextVar is
+    unset, so context-aware validators receive it explicitly."""
     errors: List[Err] = []
     if not isinstance(data, dict):
         return [("", ErrorCode.OBJECT_INVALID_DATATYPE, "Value must be a mapping")]
@@ -136,7 +140,7 @@ def validate_mapping(schema_cls: Any, data: Any) -> List[Err]:
 
         # raw validators see the pre-cast value (schema.py:255-266)
         for v in field.walk_validators(raw=True):
-            msg = v.py_check(value)
+            msg = v.py_check(value, ctx=ctx) if getattr(v, "accepts_ctx", False) else v.py_check(value)
             if msg is not None:
                 errors.append((key, v.code, msg))
 
@@ -148,7 +152,7 @@ def validate_mapping(schema_cls: Any, data: Any) -> List[Err]:
             continue  # load failed: non-raw validators don't run (schema.py:267-277)
 
         for v in field.walk_validators(raw=False):
-            msg = v.py_check(loaded)
+            msg = v.py_check(loaded, ctx=ctx) if getattr(v, "accepts_ctx", False) else v.py_check(loaded)
             if msg is not None:
                 errors.append((key, v.code, msg))
 

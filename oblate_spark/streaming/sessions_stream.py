@@ -94,6 +94,14 @@ def sessionize_stream(
             elif t - last > gap:
                 closed.append((start, last, cnt))
                 start, last, cnt = t, t, 1
+            elif t < start - gap:
+                # cross-batch late event more than `gap` BEFORE the open
+                # session's start: by the gap invariant it belongs to an
+                # earlier session that already ended before this one
+                # began — emit it as its own closed session instead of
+                # merging (merging would put a silence longer than `gap`
+                # inside one session, diverging from the batch twin)
+                closed.append((t, t, 1))
             else:
                 # clamp to monotonic time: a cross-batch out-of-order
                 # event must never move the session end (and with it the

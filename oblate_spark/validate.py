@@ -336,23 +336,34 @@ class PandasValidator(Validator):
 
         from .contexts import current_schema_context, wants_context
 
-        if wants_context(self._fn):
+        fn = self._fn
+        if wants_context(fn):
             # capture the run's SchemaContext by value (cloudpickle) so
             # the Arrow workers see the driver-side state snapshot
             ctx = current_schema_context()
-            fn = self._fn
             udf = pandas_udf(lambda s: fn(s, ctx), "string")
         else:
-            udf = pandas_udf(self._fn, "string")
+            # always wrap in a single-arg lambda: pandas_udf infers the
+            # eval type from the signature and rejects extra
+            # (defaulted) parameters without type hints — the author's
+            # own defaults are not Spark's business
+            udf = pandas_udf(lambda s: fn(s), "string")
         return udf(col)
 
-    def py_check(self, value: Any) -> Optional[str]:
+    #: pyload.validate_mapping passes the kernel's compile-time context
+    #: snapshot via ``ctx=`` (inside Arrow workers the driver ContextVar
+    #: is unset — reading it there would hand the validator None)
+    accepts_ctx = True
+
+    def py_check(self, value: Any, ctx: Any = None) -> Optional[str]:
         import pandas as pd
 
         from .contexts import current_schema_context, wants_context
 
         if wants_context(self._fn):
-            return self._fn(pd.Series([value]), current_schema_context()).iloc[0]
+            if ctx is None:
+                ctx = current_schema_context()
+            return self._fn(pd.Series([value]), ctx).iloc[0]
         return self._fn(pd.Series([value])).iloc[0]
 
 

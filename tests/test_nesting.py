@@ -115,3 +115,36 @@ def test_double_nested_typed(spark):
     df = spark.createDataFrame([("0", ((None,),)), ("1", ((3,),))], ddl)
     vm = violations_map(Outer.validate(df))
     assert vm == {"0": [("mid.inner.x", "This field is required.")]}
+
+
+def test_nested_pandas_validator_reads_state_in_kernel(spark):
+    """Regression: a (series, ctx) PandasValidator on a field of a
+    NESTED schema runs via py_check inside the Arrow kernel, where the
+    driver's ContextVar is unset — the kernel must hand it the
+    compile-time context snapshot, not None (which crashed the task)."""
+    import pandas as pd
+
+    def banned_names(s: pd.Series, ctx) -> pd.Series:
+        banned = set((ctx.state or {}).get("banned", ()))
+        return s.map(lambda v: "Name is banned" if v in banned else None)
+
+    class GuardedAuthor(Schema):
+        id = fields.Integer(null_is_missing=True)
+        name = fields.String(validators=[V.PandasValidator(banned_names)])
+
+    class GuardedBook(Schema):
+        id = fields.Integer()
+        author = fields.Object(GuardedAuthor)
+
+    df = staged_df(
+        spark,
+        {
+            "id": [1, 2],
+            "author": [{"id": 2, "name": "ok"}, {"id": 3, "name": "evil"}],
+        },
+    )
+    vm = violations_map(
+        GuardedBook.validate(df, mode="staged", state={"banned": ["evil"]})
+    )
+    assert "0" not in vm
+    assert vm["1"] == [("author.name", "Name is banned")]

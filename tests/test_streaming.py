@@ -298,3 +298,51 @@ def test_streaming_drift_matches_batch_and_scores(spark, events_source):
         nbins=nbins,
     )
     assert agg[0] < 1e-9
+
+
+def test_sessionize_stream_late_event_before_session_start_splits(spark, tmp_path):
+    """A cross-batch late event more than `gap` BEFORE the open
+    session's start must become its own closed session, not merge
+    (regression: start=min(start,t) swallowed it, putting a silence
+    longer than the gap inside one session)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from oblate_spark.streaming import sessionize_stream
+
+    src = tmp_path / "split_src"
+    src.mkdir()
+    mk = lambda rows: spark.createDataFrame(rows, "user_id string, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    # batch 1: open session A at 10:00-10:10
+    mk([("A", "2024-01-01 10:00:00"), ("A", "2024-01-01 10:10:00")]).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    # batch 2: A at 08:50 — 70min before session start, gap=30min
+    mk([("A", "2024-01-01 08:50:00")]).coalesce(1).write.parquet(str(src / "f2"))
+    # batch 3: A at 13:00 closes the 10:00 session by gap
+    mk([("A", "2024-01-01 13:00:00")]).coalesce(1).write.parquet(str(src / "f3"))
+
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    out = sessionize_stream(stream, gap_minutes=30, watermark="0 seconds")
+    name = f"split_{int(_time.time()*1000) % 10_000_000}"
+    q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+    finally:
+        q.stop()
+    got = {
+        (str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in rows if r["user_id"] == "A"
+    }
+    # the late event is its own 1-event session; the 10:00 session keeps
+    # its original bounds and count
+    assert ("2024-01-01 08:50:00", "2024-01-01 08:50:00", 1) in got
+    assert ("2024-01-01 10:00:00", "2024-01-01 10:10:00", 2) in got

@@ -366,3 +366,34 @@ def test_incremental_validate_images_full_kernel_on_delta(spark, tmp_path):
     assert "unique.exists" in codes  # the replayed row, caught vs history
     # fixture defects in the fresh slice surface through the kernel
     assert any(c.startswith("image.") for c in codes) or len(codes) > 1
+
+
+def test_incremental_validator_cleans_stale_outputs(spark, tmp_path):
+    """A crashed attempt leaves an uncommitted upto-<sid> dir; if a new
+    append lands before the retry, the retry's wider output would
+    double-count those rows for any upto-* reader. Dirs past the
+    watermark must be deleted at the start of each attempt."""
+    import os as _os
+
+    from oblate_spark.checkpoint import IncrementalValidator
+
+    t = make_table(spark, tmp_path)
+    run_dir = tmp_path / "ivrun"
+    iv = IncrementalValidator(t, Users, str(run_dir), row_id="id",
+                              extra_columns_ok=("name",))
+    iv.validate_new()  # watermark -> 1
+
+    # simulate: batch 2 appended, attempt wrote output, crashed pre-commit
+    t.append(spark.createDataFrame([(3, "x", 999)], "id long, name string, score long"))
+    stale = run_dir / "upto-00002"
+    spark.createDataFrame([("3", "score")], "row_id string, field_key string") \
+        .write.mode("overwrite").parquet(str(stale))
+    assert iv.last_validated() == 1  # crash: watermark never advanced
+
+    # batch 3 lands before the retry
+    t.append(spark.createDataFrame([(4, "y", 999)], "id long, name string, score long"))
+    r = iv.validate_new()  # validates 1 -> 3
+    assert not _os.path.exists(str(stale))  # stale uncommitted dir removed
+    assert r["rows"] == 2 and r["violations"] == 2
+    committed = {d for d in _os.listdir(str(run_dir)) if d.startswith("upto-")}
+    assert committed == {"upto-00001", "upto-00003"}  # committed outputs kept

@@ -249,3 +249,38 @@ def test_pandas_validator(spark):
     df = typed_df(spark, "row_id string, f string", [("0", "abba"), ("1", "abc")])
     vm = violations_map(S.validate(df))
     assert vm == {"0": [("f", "Validation failed for this field.")]}
+
+
+def test_wants_context_requires_defaultless_second_param():
+    """Regression: a defaulted second parameter or *args signature must
+    NOT be treated as a context request — the SchemaContext would land
+    in a slot the author meant for their own parameter."""
+    from oblate_spark.contexts import wants_context
+
+    assert wants_context(lambda col, ctx: None) is True
+    assert wants_context(lambda col, lo=0: None) is False
+    assert wants_context(lambda *cols: None) is False
+    assert wants_context(lambda col: None) is False
+    assert wants_context(lambda col, ctx, extra=1: None) is True
+
+
+def test_pandas_validator_with_defaulted_extra_param(spark):
+    """A validator with its own defaulted parameter must run as a
+    one-argument call on both the Column path (pandas_udf wraps it —
+    the raw function would fail Spark's type-hint inference) and keep
+    its default value."""
+    import pandas as pd
+
+    from oblate_spark import Schema, fields
+    from oblate_spark import validate as V
+
+    def limit_check(s: pd.Series, limit=5.0) -> pd.Series:
+        return s.map(lambda v: "over limit" if v is not None and v > limit else None)
+
+    class S(Schema):
+        x = fields.Float(validators=[V.PandasValidator(limit_check)])
+
+    df = spark.createDataFrame([("0", 1.0), ("1", 9.0)], "row_id string, x double")
+    res = S.validate(df, row_id="row_id")
+    got = {(r["row_id"], r["message"]) for r in res.violations.collect()}
+    assert got == {("1", "over limit")}
