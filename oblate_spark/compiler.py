@@ -77,6 +77,26 @@ class CompiledPlan:
         return F.flatten(F.array(*self.check_arrays))
 
 
+def _schema_wants_context(schema_cls: Any, _seen: Optional[set] = None) -> bool:
+    """True if any validator reachable through ``schema_cls`` (including
+    nested Object fields, cycle-safe) declares a context parameter."""
+    from .contexts import wants_context
+
+    seen = _seen if _seen is not None else set()
+    if schema_cls in seen:
+        return False
+    seen.add(schema_cls)
+    for f in schema_cls.__fields__.values():
+        for v in f.walk_validators():
+            fn = getattr(v, "_fn", None)
+            if fn is not None and wants_context(fn):
+                return True
+        nested = getattr(f, "schema_cls", None)
+        if nested is not None and _schema_wants_context(nested, seen):
+            return True
+    return False
+
+
 def _make_kernel_udf(fld: Field):
     """Arrow-batched container/nested-object kernel for one staged field.
 
@@ -98,10 +118,17 @@ def _make_kernel_udf(fld: Field):
     # snapshot the run's SchemaContext NOW (plan compile, driver-side):
     # the kernel executes in Arrow workers where the ContextVar is unset
     # — context-aware validators must see the compile-time state via the
-    # closure (same capture-by-value rule as PandasValidator.build)
-    from .contexts import current_schema_context
+    # closure (same capture-by-value rule as PandasValidator.build).
+    # Captured ONLY when some nested validator actually takes a context:
+    # unconditional capture would cloudpickle arbitrary user state into
+    # every kernel closure — unpicklable state (a session, a lock) would
+    # abort runs that never use it, and large state would ship to every
+    # Arrow worker for nothing.
+    ctx = None
+    if is_object and _schema_wants_context(schema_cls):
+        from .contexts import current_schema_context
 
-    ctx = current_schema_context()
+        ctx = current_schema_context()
 
     def kern(s):
         out: list = []

@@ -86,25 +86,36 @@ def _reset_current(token: contextvars.Token) -> None:
     _current.reset(token)
 
 
-def wants_context(fn: Callable) -> bool:
-    """True if ``fn`` declares a second REQUIRED positional parameter
-    (the SchemaContext) after its Column/Series argument.
+#: defaulted second-parameter names that still opt in to receiving the
+#: SchemaContext (``def v(col, ctx=None)`` is a natural spelling)
+_CTX_PARAM_NAMES = frozenset({"ctx", "context", "schema_context"})
 
-    Only a required (default-less) second positional opts in: a
-    validator like ``lambda col, lo=0: col >= lo`` keeps its historical
-    one-argument call (the default is the author's own parameter, not a
-    context slot), and ``*args`` signatures are never treated as a
-    context request — both would otherwise receive a SchemaContext in a
-    slot that expects user data."""
+
+def wants_context(fn: Callable) -> bool:
+    """True if ``fn`` declares a second positional parameter for the
+    SchemaContext after its Column/Series argument.
+
+    Opt-in rules: a REQUIRED (default-less) second positional always
+    opts in; a defaulted second positional opts in only when its NAME
+    says so (``ctx``/``context``/``schema_context``). A validator like
+    ``lambda col, lo=0: col >= lo`` keeps its historical one-argument
+    call (the default is the author's own parameter, not a context
+    slot), and ``*args`` signatures are never treated as a context
+    request — both would otherwise receive a SchemaContext in a slot
+    that expects user data."""
     try:
         sig = inspect.signature(fn)
     except (TypeError, ValueError):  # builtins / C callables
         return False
-    required_positional = [
+    positional = [
         p
         for p in sig.parameters.values()
         if p.kind
         in (inspect.Parameter.POSITIONAL_ONLY, inspect.Parameter.POSITIONAL_OR_KEYWORD)
-        and p.default is inspect.Parameter.empty
     ]
-    return len(required_positional) >= 2
+    if len(positional) < 2:
+        return False
+    second = positional[1]
+    if second.default is inspect.Parameter.empty:
+        return True
+    return second.name in _CTX_PARAM_NAMES

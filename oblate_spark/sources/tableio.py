@@ -97,12 +97,15 @@ class SnapshotTable:
         *,
         operation: str = "overwrite",
         properties: Optional[dict] = None,
+        delta: bool = False,
     ) -> int:
         """Commit ``df`` as a new snapshot; returns the snapshot id.
 
         The data write happens BEFORE the manifest publish — any failure
         mid-write leaves the table at its previous snapshot (rollback is
-        simply 'never publish').
+        simply 'never publish'). ``delta=True`` marks the snapshot's
+        logical content as parent content + these rows (see
+        ``append``, the public entry for deltas).
         """
         manifest = self._read_manifest()
         # ids must be allocated past EVERY known snapshot, not current+1:
@@ -112,14 +115,15 @@ class SnapshotTable:
         new_id = max((s["id"] for s in manifest["snapshots"]), default=0) + 1
         snap_dir = self._snap_dir(new_id)
         df.write.mode("overwrite").parquet(snap_dir)  # audit target
-        manifest["snapshots"].append(
-            {
-                "id": new_id,
-                "parent": manifest["current"],
-                "operation": operation,
-                "properties": properties or {},
-            }
-        )
+        entry = {
+            "id": new_id,
+            "parent": manifest["current"],
+            "operation": operation,
+            "properties": properties or {},
+        }
+        if delta:
+            entry["delta"] = True
+        manifest["snapshots"].append(entry)
         manifest["current"] = new_id
         self._publish_manifest(manifest)  # publish
         return new_id
@@ -132,25 +136,26 @@ class SnapshotTable:
         ingested 10^12-row table writable: commit cost is O(batch), not
         O(table). Reads assemble the parent chain (all parquet dirs in
         one multi-path scan); ``expire_snapshots`` keeps chain ancestors
-        alive as long as a live snapshot references them."""
+        alive as long as a live snapshot references them.
+
+        The batch's schema must match the table's (column names +
+        types): a multi-path parquet read resolves columns by whichever
+        file it samples first, so a mismatched delta would silently
+        drop or null columns for a whole snapshot range — Iceberg
+        rejects such a commit, and so does this."""
         manifest = self._read_manifest()
         if manifest["current"] is None:
             return self.write(df, operation="append", properties=properties)
-        new_id = max((s["id"] for s in manifest["snapshots"]), default=0) + 1
-        snap_dir = self._snap_dir(new_id)
-        df.write.mode("overwrite").parquet(snap_dir)  # audit target
-        manifest["snapshots"].append(
-            {
-                "id": new_id,
-                "parent": manifest["current"],
-                "operation": "append",
-                "delta": True,
-                "properties": properties or {},
-            }
+        current = dict(
+            (f.name, f.dataType.simpleString()) for f in self.read().schema.fields
         )
-        manifest["current"] = new_id
-        self._publish_manifest(manifest)  # publish
-        return new_id
+        batch = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)
+        if current != batch:
+            raise ValueError(
+                "append schema mismatch vs table "
+                f"(table: {sorted(current.items())}, batch: {sorted(batch.items())})"
+            )
+        return self.write(df, operation="append", properties=properties, delta=True)
 
     def _chain_dirs(self, m: dict, sid: int) -> list[str]:
         """Parquet dirs making up snapshot ``sid``'s logical content:

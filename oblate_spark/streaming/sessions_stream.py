@@ -87,28 +87,46 @@ def sessionize_stream(
             start = last = None
             cnt = 0
 
-        closed: list[tuple[float, float, int]] = []
+        # batch-twin semantics over (state interval + sorted new events):
+        # maintain time-ordered intervals whose internal gaps are <= gap
+        # (the state interval holds that invariant by construction);
+        # each event merges into an existing interval when within `gap`
+        # of it, possibly BRIDGING two intervals into one — so a chain
+        # of cross-batch late events forms one earlier session, and a
+        # chain that reaches back-to-within-gap of the open session
+        # extends it, exactly as the batch operator would. Intervals
+        # are separated by > gap by construction, so every interval but
+        # the newest is a closed session; the newest stays open in
+        # state.
+        intervals: list[list] = []  # [start, last, cnt], time-ordered
+        if last is not None:
+            intervals.append([start, last, cnt])
         for t in ts:
-            if last is None:
-                start, last, cnt = t, t, 1
-            elif t - last > gap:
-                closed.append((start, last, cnt))
-                start, last, cnt = t, t, 1
-            elif t < start - gap:
-                # cross-batch late event more than `gap` BEFORE the open
-                # session's start: by the gap invariant it belongs to an
-                # earlier session that already ended before this one
-                # began — emit it as its own closed session instead of
-                # merging (merging would put a silence longer than `gap`
-                # inside one session, diverging from the batch twin)
-                closed.append((t, t, 1))
-            else:
-                # clamp to monotonic time: a cross-batch out-of-order
-                # event must never move the session end (and with it the
-                # registered timeout) backwards
-                start = min(start, t)
-                last = max(last, t)
-                cnt += 1
+            placed = False
+            for iv in intervals:
+                if iv[0] - gap <= t <= iv[1] + gap:
+                    iv[0] = min(iv[0], t)
+                    iv[1] = max(iv[1], t)
+                    iv[2] += 1
+                    placed = True
+                    break
+            if not placed:
+                intervals.append([t, t, 1])
+            intervals.sort(key=lambda iv: iv[0])
+            merged: list[list] = []
+            for iv in intervals:  # bridge intervals now within gap
+                if merged and iv[0] - merged[-1][1] <= gap:
+                    merged[-1][1] = max(merged[-1][1], iv[1])
+                    merged[-1][2] += iv[2]
+                else:
+                    merged.append(iv)
+            intervals = merged
+        closed = [tuple(iv) for iv in intervals[:-1]]
+        if intervals:
+            start, last, cnt = intervals[-1]
+        else:
+            start = last = None
+            cnt = 0
 
         if last is not None:
             state.update((float(start), float(last), int(cnt)))

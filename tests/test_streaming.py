@@ -346,3 +346,47 @@ def test_sessionize_stream_late_event_before_session_start_splits(spark, tmp_pat
     # its original bounds and count
     assert ("2024-01-01 08:50:00", "2024-01-01 08:50:00", 1) in got
     assert ("2024-01-01 10:00:00", "2024-01-01 10:10:00", 2) in got
+
+
+def test_sessionize_stream_late_chain_forms_one_session(spark, tmp_path):
+    """Two cross-batch late events within `gap` of each other must form
+    ONE earlier session (batch-twin parity), not two singletons."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from oblate_spark.streaming import sessionize_stream
+
+    src = tmp_path / "chain_src"
+    src.mkdir()
+    mk = lambda rows: spark.createDataFrame(rows, "user_id string, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    mk([("A", "2024-01-01 10:00:00"), ("A", "2024-01-01 10:10:00")]).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    # both > gap before the open session start, within gap of each other
+    mk([("A", "2024-01-01 08:50:00"), ("A", "2024-01-01 09:10:00")]).coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+    mk([("A", "2024-01-01 13:00:00")]).coalesce(1).write.parquet(str(src / "f3"))
+
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    out = sessionize_stream(stream, gap_minutes=30, watermark="0 seconds")
+    name = f"chain_{int(_time.time()*1000) % 10_000_000}"
+    q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+    finally:
+        q.stop()
+    got = {
+        (str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in rows if r["user_id"] == "A"
+    }
+    assert ("2024-01-01 08:50:00", "2024-01-01 09:10:00", 2) in got
+    assert ("2024-01-01 10:00:00", "2024-01-01 10:10:00", 2) in got

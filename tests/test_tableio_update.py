@@ -397,3 +397,70 @@ def test_incremental_validator_cleans_stale_outputs(spark, tmp_path):
     assert r["rows"] == 2 and r["violations"] == 2
     committed = {d for d in _os.listdir(str(run_dir)) if d.startswith("upto-")}
     assert committed == {"upto-00001", "upto-00003"}  # committed outputs kept
+
+
+def test_append_rejects_schema_mismatch(spark, tmp_path):
+    """A delta batch with missing/extra/renamed columns must be rejected
+    at commit: a multi-path parquet read resolves columns from whichever
+    file it samples first, so a mismatched delta would silently drop or
+    null columns for a whole snapshot range."""
+    t = make_table(spark, tmp_path)
+    missing = spark.createDataFrame([(3, "x")], "id long, name string")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(missing)
+    extra = spark.createDataFrame(
+        [(3, "x", 1, True)], "id long, name string, score long, flag boolean"
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(extra)
+    retyped = spark.createDataFrame([(3, "x", 1.5)], "id long, name string, score double")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(retyped)
+
+
+def test_incremental_validator_rebases_when_chain_cut(spark, tmp_path):
+    """A merge/overwrite commit cuts the append chain; the validator
+    must re-baseline with a full revalidation instead of raising forever
+    (which would leave all later ingest unvalidated)."""
+    from oblate_spark.checkpoint import IncrementalValidator
+    from oblate_spark.update import update
+
+    t = make_table(spark, tmp_path)
+    iv = IncrementalValidator(t, Users, str(tmp_path / "ivrun"), row_id="id",
+                              extra_columns_ok=("name",))
+    iv.validate_new()
+    # ordinary validated update -> full (merge) snapshot, chain cut
+    update(t, spark.createDataFrame([(2, "bobby", 65)],
+                                    "id long, name string, score long"), Users, key="id")
+    r = iv.validate_new()
+    assert r is not None and r.get("rebase") is True
+    assert r["rows"] == t.read().count()  # full revalidation
+    # watermark advanced: subsequent appends validate incrementally again
+    t.append(spark.createDataFrame([(9, "z", 50)], "id long, name string, score long"))
+    r2 = iv.validate_new()
+    assert "rebase" not in r2 and r2["rows"] == 1
+
+
+def test_incremental_validator_cleanup_hook_called_per_batch(spark, tmp_path):
+    """The cleanup hook receives the RAW job output after the batch's
+    violations are persisted (release_report-style resource release)."""
+    from oblate_spark.checkpoint import IncrementalValidator
+
+    t = make_table(spark, tmp_path)
+    seen = []
+
+    def job(batch):
+        df = batch.selectExpr(
+            "cast(id as string) as row_id", "'score' as field_key",
+            "'x' as error_code", "'m' as message",
+            "cast(null as string) as value_repr", "-1 as partition_id",
+        ).limit(0)
+        df._marker = len(seen)
+        return df
+
+    iv = IncrementalValidator(t, run_dir=str(tmp_path / "ivrun"), job=job,
+                              cleanup=lambda df: seen.append(df._marker))
+    iv.validate_new()
+    t.append(spark.createDataFrame([(3, "c", 70)], "id long, name string, score long"))
+    iv.validate_new()
+    assert seen == [0, 1]

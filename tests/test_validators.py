@@ -284,3 +284,41 @@ def test_pandas_validator_with_defaulted_extra_param(spark):
     res = S.validate(df, row_id="row_id")
     got = {(r["row_id"], r["message"]) for r in res.violations.collect()}
     assert got == {("1", "over limit")}
+
+
+def test_wants_context_named_defaulted_ctx_opts_in():
+    """(col, ctx=None) is a natural context-taking spelling and must
+    keep receiving the SchemaContext; only foreign-named defaults
+    (col, lo=0) are the author's own parameters."""
+    from oblate_spark.contexts import wants_context
+
+    assert wants_context(lambda col, ctx=None: None) is True
+    assert wants_context(lambda col, context=None: None) is True
+    assert wants_context(lambda col, schema_context=None: None) is True
+    assert wants_context(lambda col, lo=0: None) is False
+
+
+def test_staged_object_with_unpicklable_state_no_ctx_validators(spark):
+    """Regression: the nested-object kernel captured the SchemaContext
+    unconditionally — unpicklable state (a lock, a session) aborted
+    staged runs whose validators never asked for a context."""
+    import json as _json
+    import threading
+
+    from oblate_spark import Schema, fields
+
+    class Inner(Schema):
+        a = fields.Integer()
+
+    class Outer(Schema):
+        k = fields.Integer()
+        payload = fields.Object(Inner)
+
+    df = spark.createDataFrame(
+        [("0", _json.dumps(1), _json.dumps({"a": 2}))],
+        "row_id string, k string, payload string",
+    )
+    res = Outer.validate(
+        df, mode="staged", row_id="row_id", state={"lock": threading.Lock()}
+    )
+    assert res.violations.count() == 0
