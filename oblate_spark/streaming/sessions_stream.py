@@ -16,6 +16,17 @@ events, only the 3-number summary, so it holds at any scale the shuffle
 can hash-partition the user keys. Skewed users are irrelevant — state
 size is constant per key regardless of event count.
 
+Disorder guarantee (eager-emit design): results equal the batch twin
+for in-order streams and for out-of-order arrival as long as a
+session's events do not straddle an emitting batch boundary (see
+fold_sessions + the property test). An event arriving AFTER its
+session was already emitted is output as an additional session —
+append mode cannot retract — so counts are at-least-once under
+unbounded disorder. Exact-under-watermark semantics require buffering
+open intervals until the watermark passes (Spark's built-in
+session_window does this, at the cost of emission latency); this
+operator trades that for immediate gap-triggered emission.
+
 The reference library has no streaming surface; this is the Axis-B
 generalization of per-row validation state to unbounded input
 (SURVEY.md §2.7 UDF/UDAF + streaming rows).
@@ -27,7 +38,53 @@ from typing import Any, Iterator
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["sessionize_stream", "SESSION_OUTPUT_SCHEMA"]
+__all__ = ["sessionize_stream", "fold_sessions", "SESSION_OUTPUT_SCHEMA"]
+
+
+def fold_sessions(state, ts, gap):
+    """Fold sorted event times into the open-session state; returns
+    (closed_sessions, new_state), both as (start, last, cnt) tuples
+    (new_state None when no events and no state).
+
+    Batch-twin semantics over (state interval + sorted new events):
+    maintain time-ordered intervals whose internal gaps are <= gap (the
+    state interval holds that invariant by construction); each event
+    merges into an existing interval when within ``gap`` of it, possibly
+    BRIDGING two intervals into one — so a chain of cross-batch late
+    events forms one earlier session, and a chain that reaches
+    back-to-within-gap of the open session extends it, exactly as the
+    batch operator would. Intervals are separated by > gap by
+    construction, so every interval but the newest is a closed session;
+    the newest stays open.
+
+    Module-level (not a closure) so the microbatch-split == one-batch
+    equivalence is property-testable without a streaming query."""
+    intervals: list = []  # [start, last, cnt], time-ordered
+    if state is not None:
+        intervals.append(list(state))
+    for t in ts:
+        placed = False
+        for iv in intervals:
+            if iv[0] - gap <= t <= iv[1] + gap:
+                iv[0] = min(iv[0], t)
+                iv[1] = max(iv[1], t)
+                iv[2] += 1
+                placed = True
+                break
+        if not placed:
+            intervals.append([t, t, 1])
+        intervals.sort(key=lambda iv: iv[0])
+        merged: list = []
+        for iv in intervals:  # bridge intervals now within gap
+            if merged and iv[0] - merged[-1][1] <= gap:
+                merged[-1][1] = max(merged[-1][1], iv[1])
+                merged[-1][2] += iv[2]
+            else:
+                merged.append(iv)
+        intervals = merged
+    closed = [tuple(iv) for iv in intervals[:-1]]
+    new_state = tuple(intervals[-1]) if intervals else None
+    return closed, new_state
 
 SESSION_OUTPUT_SCHEMA = (
     "user_id string, session_start timestamp, session_end timestamp, "
@@ -87,43 +144,11 @@ def sessionize_stream(
             start = last = None
             cnt = 0
 
-        # batch-twin semantics over (state interval + sorted new events):
-        # maintain time-ordered intervals whose internal gaps are <= gap
-        # (the state interval holds that invariant by construction);
-        # each event merges into an existing interval when within `gap`
-        # of it, possibly BRIDGING two intervals into one — so a chain
-        # of cross-batch late events forms one earlier session, and a
-        # chain that reaches back-to-within-gap of the open session
-        # extends it, exactly as the batch operator would. Intervals
-        # are separated by > gap by construction, so every interval but
-        # the newest is a closed session; the newest stays open in
-        # state.
-        intervals: list[list] = []  # [start, last, cnt], time-ordered
-        if last is not None:
-            intervals.append([start, last, cnt])
-        for t in ts:
-            placed = False
-            for iv in intervals:
-                if iv[0] - gap <= t <= iv[1] + gap:
-                    iv[0] = min(iv[0], t)
-                    iv[1] = max(iv[1], t)
-                    iv[2] += 1
-                    placed = True
-                    break
-            if not placed:
-                intervals.append([t, t, 1])
-            intervals.sort(key=lambda iv: iv[0])
-            merged: list[list] = []
-            for iv in intervals:  # bridge intervals now within gap
-                if merged and iv[0] - merged[-1][1] <= gap:
-                    merged[-1][1] = max(merged[-1][1], iv[1])
-                    merged[-1][2] += iv[2]
-                else:
-                    merged.append(iv)
-            intervals = merged
-        closed = [tuple(iv) for iv in intervals[:-1]]
-        if intervals:
-            start, last, cnt = intervals[-1]
+        closed, new_state = fold_sessions(
+            (start, last, cnt) if last is not None else None, ts, gap
+        )
+        if new_state is not None:
+            start, last, cnt = new_state
         else:
             start = last = None
             cnt = 0

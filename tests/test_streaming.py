@@ -390,3 +390,77 @@ def test_sessionize_stream_late_chain_forms_one_session(spark, tmp_path):
     }
     assert ("2024-01-01 08:50:00", "2024-01-01 09:10:00", 2) in got
     assert ("2024-01-01 10:00:00", "2024-01-01 10:10:00", 2) in got
+
+
+def test_fold_sessions_split_equivalence_properties():
+    """Two equivalence properties of the session fold (hypothesis):
+
+    1. IN-ORDER arrival with arbitrary microbatch cuts == one batch fold
+       (exactness of the incremental fold).
+    2. BOUNDED DISORDER: events may arrive shuffled WITHIN their own
+       session (session groups in order) — still exact, exercising the
+       interval bridging logic.
+
+    Unbounded disorder is inherently non-equivalent for an append-mode
+    stream: an event arriving after its session was emitted cannot be
+    retracted into it (documented on sessionize_stream)."""
+    from hypothesis import given, settings, strategies as st
+
+    from oblate_spark.streaming.sessions_stream import fold_sessions
+
+    def run_batches(batches, gap):
+        state, closed_all = None, []
+        for b in batches:
+            closed, state = fold_sessions(state, sorted(b), gap)
+            closed_all.extend(closed)
+        return closed_all, state
+
+    def cut(seq, cuts):
+        out, prev = [], 0
+        for c in sorted(cuts) + [len(seq)]:
+            out.append(seq[prev:c])
+            prev = c
+        return out
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=3000), min_size=1, max_size=30),
+        st.integers(min_value=1, max_value=500),
+        st.data(),
+    )
+    def check(events, gap, data):
+        exp_closed, exp_state = fold_sessions(None, sorted(events), gap)
+        exp = (sorted(exp_closed), exp_state)
+
+        # property 1: in-order arrival, arbitrary cuts
+        arrival = sorted(events)
+        cuts = data.draw(st.lists(st.integers(0, len(arrival)), max_size=4))
+        closed_all, state = run_batches(cut(arrival, cuts), gap)
+        assert (sorted(closed_all), state) == exp
+
+        # property 2: shuffle within each session, batch cuts on session
+        # boundaries (bounded disorder: a session's events never straddle
+        # an emitting batch boundary — the operator's documented guarantee;
+        # beyond it an already-emitted session cannot be retracted)
+        groups, cur, last_t = [], [], None
+        for t in sorted(events):
+            if last_t is not None and t - last_t > gap:
+                groups.append(cur)
+                cur = []
+            cur.append(t)
+            last_t = t
+        groups.append(cur)
+        batches2 = [list(data.draw(st.permutations(g))) for g in groups]
+        # optionally merge adjacent session-groups into one batch
+        merged_batches, i = [], 0
+        while i < len(batches2):
+            b = list(batches2[i])
+            while i + 1 < len(batches2) and data.draw(st.booleans()):
+                i += 1
+                b.extend(batches2[i])
+            merged_batches.append(b)
+            i += 1
+        closed_all2, state2 = run_batches(merged_batches, gap)
+        assert (sorted(closed_all2), state2) == exp, (events, gap, merged_batches)
+
+    check()
