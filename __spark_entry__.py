@@ -878,7 +878,7 @@ def oracle_sql() -> dict[str, str]:
             WITH base AS (
                 SELECT doc_id,
                        least(length(text)::DOUBLE / 500.0, 1.0) AS len_score,
-                       length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                       length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g'))::DOUBLE
                            / greatest(length(text), 1) AS punct_ratio,
                        len(list_filter({_TOKENS}, x -> list_contains([{stops_lst}], x)))::DOUBLE
                            / greatest(len({_TOKENS}), 1) AS stop_ratio

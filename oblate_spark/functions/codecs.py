@@ -275,14 +275,16 @@ def _dct_matrix(n: int) -> np.ndarray:
 _DCT32 = _dct_matrix(32)
 
 
-def _resize_area(gray: np.ndarray, size: int = 32) -> np.ndarray:
-    """Area-average resize to size x size (exact for integer factors,
-    integral-image box sums otherwise — deterministic either way).
-    Fully vectorized: the box-sum is evaluated for all size² cells with
-    one fancy-indexing expression (the scalar double loop was the
-    original hotspot of the whole validation pipeline)."""
+def _resize_area(gray: np.ndarray, size: int = 32, out_h: int | None = None) -> np.ndarray:
+    """Area-average resize to ``out_h x size`` (``size x size`` when
+    ``out_h`` is omitted; exact for integer factors, integral-image box
+    sums otherwise — deterministic either way). Fully vectorized: the
+    box-sum is evaluated for all output cells with one fancy-indexing
+    expression (the scalar double loop was the original hotspot of the
+    whole validation pipeline)."""
     h, w = gray.shape
-    ys = (np.arange(size + 1) * h // size).astype(np.int64)
+    out_h = size if out_h is None else out_h
+    ys = (np.arange(out_h + 1) * h // out_h).astype(np.int64)
     xs = (np.arange(size + 1) * w // size).astype(np.int64)
     y0, y1 = ys[:-1], np.maximum(ys[1:], ys[:-1] + 1)
     x0, x1 = xs[:-1], np.maximum(xs[1:], xs[:-1] + 1)

@@ -59,11 +59,18 @@ def image_resize(
                 except ImageDecodeError:
                     out_bytes.append(None)
                     continue
+                # true width x height area resample (a square resample
+                # followed by a crop silently discarded image content
+                # for non-square targets and lied in the metadata)
                 chans = [
-                    np.clip(np.rint(_resize_area(px[:, :, c].astype(np.float64), width)), 0, 255)
+                    np.clip(
+                        np.rint(_resize_area(px[:, :, c].astype(np.float64), width, height)),
+                        0,
+                        255,
+                    )
                     for c in range(3)
                 ]
-                small = np.stack(chans, axis=2).astype(np.uint8)[:height, :width]
+                small = np.stack(chans, axis=2).astype(np.uint8)
                 out_bytes.append(bytearray(encode_image(small, out_fmt)))
             yield pd.DataFrame(
                 {
@@ -85,7 +92,12 @@ def image_features(
 ) -> DataFrame:
     """REAL image feature extraction: the 8x8 DCT block (the same one
     pHash thresholds) as a dense float vector — a cheap, deterministic
-    visual embedding usable by operators.similarity."""
+    visual embedding usable by operators.similarity. ``dim`` slices
+    that 64-coefficient block, so it is capped at 64 — asking for more
+    would silently return 64-dim vectors that break downstream
+    fixed-width cosine joins."""
+    if dim > 64:
+        raise ValueError(f"dim must be <= 64 (the 8x8 DCT block); got {dim}")
     import pandas as pd
 
     def kernel(iterator):
@@ -192,11 +204,21 @@ def video_frame_sample(
     emits ``n_frames`` deterministic pseudo-frames (hash-derived 8x8
     PPM thumbnails) per payload so downstream image operators — resize,
     features, dedup on frames — run against real binary columns with
-    the exact schema a real demuxer would produce:
-    (id, frame_index int, frame_bytes binary)."""
+    the exact schema a real demuxer would produce, plus ``is_stub``
+    (always True from the stub, mirroring audio_features) so fabricated
+    frames can never be mistaken for real ones downstream:
+    (id, frame_index int, frame_bytes binary, is_stub boolean)."""
     import pandas as pd
 
-    if not REAL_AV_CODECS_AVAILABLE and not allow_stub:
+    if REAL_AV_CODECS_AVAILABLE:
+        # the flag's contract: when real codecs exist, the stub body
+        # below must be REPLACED, not silently used — fabricating frames
+        # while claiming real demux would poison downstream consumers
+        raise NotImplementedError(
+            "REAL_AV_CODECS_AVAILABLE is set but video_frame_sample still "
+            "carries the stub kernel — swap in the pyav/ffmpeg demuxer here"
+        )
+    if not allow_stub:
         raise NotImplementedError("video demuxing requires pyav/ffmpeg, absent in this sandbox")
 
     def kernel(iterator):
@@ -207,19 +229,31 @@ def video_frame_sample(
             for i, blob in zip(pdf[id_col], pdf[bytes_col]):
                 if blob is None:
                     continue
+                # hash the payload ONCE; mix the frame index into the
+                # digest (re-hashing a multi-MB blob per frame was
+                # n_frames x full-payload md5 in the hot kernel)
+                payload_digest = hashlib.md5(bytes(blob)).digest()
                 for k in range(n_frames):
                     seed = int.from_bytes(
-                        hashlib.md5(bytes(blob) + k.to_bytes(4, "big")).digest()[:8], "big"
+                        hashlib.md5(payload_digest + k.to_bytes(4, "big")).digest()[:8],
+                        "big",
                     )
                     rng = np.random.default_rng(seed)
                     px = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
                     ids.append(i)
                     idxs.append(k)
                     frames.append(bytearray(encode_image(px, "ppm")))
-            yield pd.DataFrame({id_col: ids, "frame_index": idxs, "frame_bytes": frames})
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_index": idxs,
+                    "frame_bytes": frames,
+                    "is_stub": pd.Series([True] * len(ids), dtype=bool),
+                }
+            )
 
     return df.select(id_col, bytes_col).mapInPandas(
-        kernel, f"{id_col} string, frame_index int, frame_bytes binary"
+        kernel, f"{id_col} string, frame_index int, frame_bytes binary, is_stub boolean"
     )
 
 

@@ -138,8 +138,17 @@ def ivf_assign(
         else _centroids_from_corpus(corpus, id_col, vec_col, n_centroids)
     )
     cent_rows = cents.collect()  # bounded: n_centroids rows
-    cent_lit = _centroid_array_literal(cent_rows)
     vec = F.col(vec_col)
+    if not cent_rows:
+        # empty corpus / empty centroid frame: zero assignments, not an
+        # AnalysisException from field-extracting a NULL-typed array
+        # literal (an incremental pipeline's new-batch slice can be
+        # legitimately empty)
+        empty = corpus.select(
+            F.col(id_col), vec.alias(vec_col), F.lit(None).cast("int").alias("bucket")
+        ).limit(0)
+        return empty, cents
+    cent_lit = _centroid_array_literal(cent_rows)
     # lexicographic struct max: sim first, then -cid (= smallest cid on tie)
     best = F.array_max(
         F.transform(
@@ -181,24 +190,28 @@ def knn_ivf(
     (query, bucket) pairs, and a final per-query top-k window over the
     candidate subset only."""
     qid = query_id_col or id_col
-    cents = _centroids_from_corpus(corpus, id_col, vec_col, n_centroids)
+    # reuse ivf_assign for the corpus-side bucket assignment — one
+    # implementation of the literal-array argmax (tie-break, empty-corpus
+    # handling) instead of a drifting copy
+    assigned_df, cents = ivf_assign(
+        corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
+    )
+    assigned = assigned_df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket"
+    )
     cent_rows = cents.collect()  # bounded: n_centroids rows
-    cent_lit = _centroid_array_literal(cent_rows)
-
-    vec = F.col(vec_col)
-    best = F.array_max(
-        F.transform(
-            cent_lit,
-            lambda c: F.struct(
-                cosine_expr(vec, c["vec"]).alias("sim"),
-                (-c["cid"]).alias("negcid"),
-                c["cid"].alias("cid"),
-            ),
+    if not cent_rows:
+        # empty corpus: zero neighbors, typed like the real result
+        return (
+            queries.select(F.col(qid).alias("query_id")).limit(0).crossJoin(
+                corpus.select(
+                    F.col(id_col).alias("neighbor_id"),
+                    F.lit(0.0).alias("cosine"),
+                    F.lit(0).alias("rank"),
+                ).limit(0)
+            )
         )
-    )
-    assigned = corpus.select(
-        F.col(id_col).alias("neighbor_id"), vec.alias("cv"), best["cid"].alias("bucket")
-    )
+    cent_lit = _centroid_array_literal(cent_rows)
 
     # per-query nprobe nearest buckets: sort the same literal array by
     # (-sim, cid) and slice — no window, no shuffle on the query side
@@ -276,19 +289,39 @@ def knn_bruteforce_pandas(
     """Vectorized-numpy variant: queries held as a broadcast numpy
     matrix, corpus streamed through mapInPandas — one BLAS matmul per
     Arrow batch. Preferable for wide vectors (d >= 512) where the
-    higher-order-function loop costs more than Arrow transfer."""
+    higher-order-function loop costs more than Arrow transfer.
+
+    Robustness (matches the JVM variant's tolerance): NULL embeddings
+    and empty Arrow batches are skipped, not task failures; zero-norm
+    vectors are dropped (0/0 would make NaN cosines, and Spark sorts
+    NaN ABOVE every real double — a zero vector would otherwise become
+    everyone's rank-1 neighbor). Ids are emitted as strings (the
+    declared output schema)."""
     import numpy as np
     import pandas as pd
 
-    qids = [q[0] for q in queries_local]
+    qids = np.asarray([str(q[0]) for q in queries_local])
     qmat = np.asarray([q[1] for q in queries_local], dtype=np.float64)
-    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0  # zero-norm query -> all-zero sims, not NaN
+    qnorm = qmat / qn
 
     def score(iterator):
         for pdf in iterator:
-            ids = pdf[id_col].to_numpy()
+            if len(pdf) == 0:
+                continue
+            pdf = pdf[pdf[vec_col].notna()]
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].astype(str).to_numpy()
             mat = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            nonzero = norms[:, 0] > 0
+            if not nonzero.all():
+                ids, mat, norms = ids[nonzero], mat[nonzero], norms[nonzero]
+            if len(ids) == 0:
+                continue
+            mat = mat / norms
             sims = mat @ qnorm.T  # (batch, n_queries)
             out = {
                 "query_id": np.repeat(qids, len(ids)),

@@ -98,7 +98,11 @@ def quality_score(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
     txt = F.col(text_col)
     n_chars = F.greatest(F.length(txt), F.lit(1))
     len_score = F.least(F.length(txt).cast("double") / F.lit(500.0), F.lit(1.0))
-    punct = F.length(F.regexp_replace(txt, r"[A-Za-z0-9\s]", ""))
+    # Unicode letter/number classes, NOT [A-Za-z0-9]: accented letters
+    # (ü, é, ...) are prose, and counting them as "punctuation" would
+    # systematically score the non-English languages language_id
+    # supports as low quality
+    punct = F.length(F.regexp_replace(txt, r"[\p{L}\p{N}\s]", ""))
     punct_ratio = punct.cast("double") / n_chars.cast("double")
     tokens = tokens_expr(txt)
     all_stops = sorted({w for ws in STOPWORDS.values() for w in ws})

@@ -176,3 +176,38 @@ def test_audio_fixture_and_report_match_manifest(spark):
         assert r["rate"] == m["rate"] and r["n_samples"] == m["n_samples"]
         if m["decode_ok"]:
             assert abs(r["duration"] - m["n_samples"] / fixtures.AUDIO_RATE) < 1e-12
+
+
+def test_image_resize_non_square(spark):
+    """Non-square targets must be truly resampled to width x height —
+    the old square-resample-then-crop emitted a 32x32 payload while
+    claiming h=64, or threw away the bottom half of the picture."""
+    from oblate_spark import fixtures
+    from oblate_spark.functions.codecs import decode_image
+    from oblate_spark.operators.multimodal import image_resize
+
+    df = fixtures.build_images_df(spark, 6, partitions=2)
+    out = image_resize(df, width=16, height=40).filter("bytes is not null").collect()
+    assert out
+    for r in out:
+        px = decode_image(bytes(r["bytes"]))
+        assert px.shape == (40, 16, 3)
+        assert (r["w"], r["h"]) == (16, 40)
+
+
+def test_image_features_dim_cap(spark):
+    from oblate_spark.operators.multimodal import image_features
+
+    with pytest.raises(ValueError, match="<= 64"):
+        image_features(spark.range(1).selectExpr("'x' as image_id", "cast(null as binary) as bytes"), dim=128)
+
+
+def test_video_frames_marked_stub(spark):
+    from oblate_spark import fixtures
+    from oblate_spark.operators.multimodal import video_frame_sample
+
+    df = fixtures.build_images_df(spark, 2, partitions=1).selectExpr(
+        "image_id as vid", "bytes as payload"
+    )
+    rows = video_frame_sample(df, bytes_col="payload", id_col="vid", n_frames=2).collect()
+    assert rows and all(r["is_stub"] for r in rows)

@@ -300,3 +300,36 @@ def test_flagged_overlap_semantics_consistent(spark):
         lo=0.0, hi=1.0, nbins_psi=2, nbins_ks=2,
     )
     assert abs(stats["ks"] - abs(80 / 120 - 50 / 100)) < 1e-9
+
+
+def test_knn_bruteforce_pandas_null_and_zero_vectors(spark):
+    """NULL embeddings and zero-norm vectors must be skipped, not crash
+    the task or surface as NaN rank-1 neighbors (Spark sorts NaN above
+    every real double)."""
+    import math
+
+    from oblate_spark.operators.similarity import knn_bruteforce_pandas
+
+    rows = [
+        ("a", [1.0, 0.0]),
+        ("b", [0.9, 0.1]),
+        ("zero", [0.0, 0.0]),
+        ("nullv", None),
+    ]
+    corpus = spark.createDataFrame(rows, "id string, vec array<double>")
+    out = knn_bruteforce_pandas(
+        corpus, [("q1", [1.0, 0.0])], id_col="id", vec_col="vec", k=3
+    ).collect()
+    got = [(r["neighbor_id"], r["cosine"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert [g[0] for g in got] == ["a", "b"]  # zero/null vectors excluded
+    assert all(not math.isnan(g[1]) for g in got)
+
+
+def test_ivf_empty_corpus_returns_empty(spark):
+    from oblate_spark.operators.similarity import ivf_assign, knn_ivf
+
+    empty = spark.createDataFrame([], "id string, vec array<double>")
+    assigned, cents = ivf_assign(empty, id_col="id", vec_col="vec", n_centroids=4)
+    assert assigned.count() == 0 and cents.count() == 0
+    res = knn_ivf(empty, empty, id_col="id", vec_col="vec", k=3)
+    assert res.count() == 0
