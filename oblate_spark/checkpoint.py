@@ -33,13 +33,22 @@ __all__ = [
 class ResumableRun:
     """Generic chunked, resumable execution over parquet file groups."""
 
-    def __init__(self, spark: SparkSession, source_path: str, run_dir: str, *, group_size: int = 8) -> None:
+    def __init__(self, spark: SparkSession, source_path, run_dir: str, *, group_size: int = 8) -> None:
         self.spark = spark
         self.source_path = source_path
         self.run_dir = run_dir
         self.group_size = group_size
         os.makedirs(run_dir, exist_ok=True)
-        files = sorted(glob.glob(os.path.join(source_path, "*.parquet")))
+        # list the SOURCE through the Hadoop FileSystem API (the same
+        # lister the image kernel uses) so resumable runs work on
+        # object stores (s3a:/hdfs:/...), not just local paths — a
+        # local glob silently finds nothing on a remote URI. The run
+        # manifest itself stays driver-local JSON by design (the
+        # documented Iceberg-snapshot stand-in, module docstring).
+        from .operators.images import _list_parquet_files
+
+        sources = [source_path] if isinstance(source_path, str) else list(source_path)
+        files = sorted(uri for uri, _sz in _list_parquet_files(spark, sources))
         if not files:
             raise ValueError(f"no parquet files under {source_path!r}")
         self.groups = [files[i : i + group_size] for i in range(0, len(files), group_size)]
@@ -134,7 +143,11 @@ class IncrementalValidator:
        before each attempt, dirs past the watermark (uncommitted
        leftovers of a crashed attempt) are deleted, so a reader
        aggregating ``upto-*`` never double-counts a batch even when a
-       new append landed between the crash and the retry.
+       new append landed between the crash and the retry. A REBASE
+       (cut append chain: rollback/overwrite/expired watermark) writes
+       a full-table revalidation, so ALL committed ``upto-*`` dirs are
+       deleted first — their content is superseded, and keeping them
+       would double-count every previously validated row.
 
     ``unique_keys`` adds cross-batch uniqueness: each batch's keys are
     checked against the pre-batch table content through a broadcast
@@ -239,6 +252,16 @@ class IncrementalValidator:
                 batch = self.table.read(current)
                 rebase = True
                 last = None  # uniqueness: treat as first run below
+                # the full revalidation about to be written to
+                # upto-<current> SUPERSEDES every committed upto-* dir:
+                # keeping them would double-count every previously
+                # validated row's violations for any reader aggregating
+                # upto-* (the class guarantee). Delete them all; the
+                # manifest entry keeps the rebase flag.
+                import shutil
+
+                for d in glob.glob(os.path.join(self.run_dir, "upto-*")):
+                    shutil.rmtree(d, ignore_errors=True)
         if self.job is not None:
             raw_out = self.job(batch)
             violations = raw_out

@@ -28,6 +28,7 @@ from __future__ import annotations
 import contextvars
 import copy
 import inspect
+import warnings
 from typing import Any, Callable, Optional
 
 __all__ = ["SchemaContext", "current_schema_context"]
@@ -102,7 +103,15 @@ def wants_context(fn: Callable) -> bool:
     call (the default is the author's own parameter, not a context
     slot), and ``*args`` signatures are never treated as a context
     request — both would otherwise receive a SchemaContext in a slot
-    that expects user data."""
+    that expects user data.
+
+    Migration note (name-based opt-in introduced after the 'any second
+    positional' rule): a validator written as ``def v(col, cfg=None)``
+    that previously received the SchemaContext now receives only one
+    argument. Rename the parameter to ``ctx``/``context``/
+    ``schema_context`` to keep receiving it. A one-time UserWarning is
+    emitted per function when a defaulted, non-context-named second
+    positional is seen, so the change is never silent."""
     try:
         sig = inspect.signature(fn)
     except (TypeError, ValueError):  # builtins / C callables
@@ -118,4 +127,23 @@ def wants_context(fn: Callable) -> bool:
     second = positional[1]
     if second.default is inspect.Parameter.empty:
         return True
-    return second.name in _CTX_PARAM_NAMES
+    if second.name in _CTX_PARAM_NAMES:
+        return True
+    key = getattr(fn, "__code__", None) or fn
+    if key not in _warned_ambiguous:
+        _warned_ambiguous.add(key)
+        warnings.warn(
+            f"validator {getattr(fn, '__qualname__', fn)!r} has a defaulted "
+            f"second positional parameter {second.name!r}: it is treated as "
+            "the author's own default, NOT a SchemaContext slot. Rename it to "
+            "ctx/context/schema_context if the validator needs the context.",
+            UserWarning,
+            stacklevel=3,
+        )
+    return False
+
+
+#: functions already warned about an ambiguous defaulted second
+#: positional (keyed on the code object so equal lambdas re-created per
+#: call still warn only once per definition site)
+_warned_ambiguous: set = set()

@@ -32,6 +32,8 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
 
+from .partitioning import ensure_fanout_parallelism
+
 __all__ = [
     "normalized_text",
     "exact_duplicates",
@@ -76,9 +78,7 @@ def shingles(df: DataFrame, *, id_col: str, text_col: str, k: int = 5) -> DataFr
     often a single small file (one input split), and without the cheap
     pre-shuffle the entire shingle+hash fan-out — the expensive part —
     runs in one task (measured: zero core-scaling on sf0.1)."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    df = ensure_fanout_parallelism(df)
     txt = normalized_text(F.col(text_col))
     arr = F.array_distinct(
         F.transform(
@@ -173,9 +173,7 @@ def ngram_jaccard_pairs(
     scale path. Without it, an exhaustive self-join (small inputs /
     oracle checks only; quadratic by construction).
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)  # single-file inputs -> parallel join sides
+    df = ensure_fanout_parallelism(df)  # single-file inputs -> parallel join sides
     toks = df.select(F.col(id_col), _token_set(F.col(text_col)).alias("toks"))
     a = toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
     b = toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
@@ -203,9 +201,7 @@ def simhash(df: DataFrame, *, id_col: str, text_col: str, bits: int = 48) -> Dat
     bits; bucket by signature prefix to find them. Pure expressions:
     explode tokens -> one groupBy(id) with ``bits`` conditional sums.
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)  # same single-input-split hazard as shingles()
+    df = ensure_fanout_parallelism(df)  # same single-input-split hazard as shingles()
     toks = df.select(
         F.col(id_col), F.explode(_token_set(F.col(text_col))).alias("tok")
     ).select(F.col(id_col), F.md5(F.col("tok")).alias("th"))

@@ -26,6 +26,8 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
 
+from .partitioning import ensure_fanout_parallelism
+
 __all__ = ["token_frequencies", "top_k_tokens", "approx_heavy_hitters"]
 
 
@@ -34,9 +36,7 @@ def token_frequencies(df: DataFrame, *, text_col: str) -> DataFrame:
     like operators.text: lower + trim, empty tokens dropped)."""
     from .text import tokens_expr
 
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)  # single-file inputs -> parallel explode
+    df = ensure_fanout_parallelism(df)  # single-file inputs -> parallel explode
     toks = df.select(F.explode(tokens_expr(F.col(text_col))).alias("token"))
     return toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
 

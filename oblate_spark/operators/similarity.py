@@ -138,6 +138,12 @@ def ivf_assign(
         else _centroids_from_corpus(corpus, id_col, vec_col, n_centroids)
     )
     cent_rows = cents.collect()  # bounded: n_centroids rows
+    # re-materialize the centroid frame as a LocalRelation over the rows
+    # just collected: a downstream consumer (knn_ivf probes the same
+    # centroids) re-collecting it gets these exact rows for free instead
+    # of re-running the TakeOrdered corpus scan — which would also
+    # silently couple correctness to the derivation being deterministic
+    cents = corpus.sparkSession.createDataFrame(cent_rows, cents.schema)
     vec = F.col(vec_col)
     if not cent_rows:
         # empty corpus / empty centroid frame: zero assignments, not an

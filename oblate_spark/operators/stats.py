@@ -262,6 +262,7 @@ def incremental_uniqueness_violations(
     keys: Sequence[str],
     *,
     row_id: str,
+    max_broadcast_keys: int = 5_000_000,
 ) -> DataFrame:
     """Uniqueness violations for an APPEND BATCH: duplicates within the
     batch plus collisions against the already-committed table — without
@@ -280,6 +281,14 @@ def incremental_uniqueness_violations(
     Emits the engine's violation contract (row_id, field_key,
     error_code, message, value_repr): ``unique.duplicate`` within the
     batch, ``unique.exists`` against history.
+
+    The broadcast shape assumes delta ≪ table. A backfill-sized batch
+    would exceed the driver/executor broadcast limit, so each key's
+    distinct count is checked first (one column-pruned count on the
+    BATCH — negligible next to its validation work): above
+    ``max_broadcast_keys`` the probe falls back to a plain shuffle
+    join and lets AQE pick the strategy, trading the map-side-only
+    table scan for not OOMing the driver.
     """
     parts = [
         multi_key_uniqueness_violations(
@@ -288,14 +297,17 @@ def incremental_uniqueness_violations(
     ]
     for k in keys:
         batch_keys = batch.select(k).where(F.col(k).isNotNull()).distinct()
+        small = batch_keys.count() <= max_broadcast_keys
+        probe = F.broadcast(batch_keys) if small else batch_keys
         collided = (
             history.select(k)
-            .join(F.broadcast(batch_keys), on=k, how="leftsemi")
+            .join(probe, on=k, how="leftsemi")
             .distinct()
         )
+        # collided ⊆ batch_keys, so the same size decision applies
         parts.append(
             batch.select(F.col(row_id).cast("string").alias("row_id"), k)
-            .join(F.broadcast(collided), on=k)
+            .join(F.broadcast(collided) if small else collided, on=k)
             .select(
                 "row_id",
                 F.lit(k).alias("field_key"),

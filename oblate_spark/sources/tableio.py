@@ -120,6 +120,11 @@ class SnapshotTable:
             "parent": manifest["current"],
             "operation": operation,
             "properties": properties or {},
+            # table schema AT this snapshot, recorded so append()'s
+            # schema check is a manifest lookup instead of opening the
+            # whole parent chain's parquet footers on every commit
+            # (O(1) metadata per append, not O(chain length))
+            "schema": {f.name: f.dataType.simpleString() for f in df.schema.fields},
         }
         if delta:
             entry["delta"] = True
@@ -146,9 +151,15 @@ class SnapshotTable:
         manifest = self._read_manifest()
         if manifest["current"] is None:
             return self.write(df, operation="append", properties=properties)
-        current = dict(
-            (f.name, f.dataType.simpleString()) for f in self.read().schema.fields
-        )
+        by_id = {s["id"]: s for s in manifest["snapshots"]}
+        current = by_id[manifest["current"]].get("schema")
+        if current is None:
+            # manifest written before per-snapshot schemas were recorded:
+            # derive once from the table (full-chain footer read) — every
+            # NEW commit records its schema, so this path self-heals
+            current = {
+                f.name: f.dataType.simpleString() for f in self.read().schema.fields
+            }
         batch = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)
         if current != batch:
             raise ValueError(
@@ -247,11 +258,14 @@ class SnapshotTable:
                 if not by_id[cur].get("delta"):
                     break
                 cur = by_id[cur]["parent"]
-        expired = []
-        for s in list(m["snapshots"]):
-            if s["id"] not in keep:
-                shutil.rmtree(self._snap_dir(s["id"]), ignore_errors=True)
-                m["snapshots"].remove(s)
-                expired.append(s["id"])
+        expired = [s["id"] for s in m["snapshots"] if s["id"] not in keep]
+        m["snapshots"] = [s for s in m["snapshots"] if s["id"] in keep]
+        # write-audit-publish also applies to deletion: publish the
+        # pruned manifest FIRST (atomic os.replace), then delete the
+        # now-unreferenced dirs. A crash mid-delete leaves only orphan
+        # dirs; the old order left a published manifest referencing
+        # deleted dirs, breaking read()/_chain_dirs.
         self._publish_manifest(m)
+        for sid in expired:
+            shutil.rmtree(self._snap_dir(sid), ignore_errors=True)
         return expired
