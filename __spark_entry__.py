@@ -440,6 +440,46 @@ def q_audio_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal Axis-A, video: REAL YUV4MPEG2 demux (own pure-numpy
+    Y4M codec, functions/videocodecs.py) over a 500-clip deterministic
+    fixture; per-clip decode outcome + stream facts (dims, frame count,
+    frame rate, colorspace) match the closed-form manifest
+    (fixtures.video_manifest_for_index)."""
+    from oblate_spark import fixtures
+    from oblate_spark.operators.multimodal import video_payload_report
+
+    clips = fixtures.build_video_df(spark, 500)
+    rep = video_payload_report(clips)
+    return rep.select(
+        "video_id", "decode_ok",
+        F.col("w").cast("int").alias("w"),
+        F.col("h").cast("int").alias("h"),
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+        F.col("fps_num").cast("int").alias("fps_num"),
+        F.col("fps_den").cast("int").alias("fps_den"),
+        "colorspace",
+    )
+
+
+def q_video_frame_sample_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling facts over the same video fixture: which frame
+    indices the uniform sampler picks per clip (REAL demux for good
+    clips, hash-stub fallback for malformed ones — visible via
+    ``is_stub``). Closed-form: good clips sample
+    min(total-1, k*total//4) for k in 0..3; stub rows carry k itself."""
+    from oblate_spark import fixtures
+    from oblate_spark.operators.multimodal import video_frame_sample
+
+    clips = fixtures.build_video_df(spark, 500)
+    frames = video_frame_sample(
+        clips, bytes_col="payload", id_col="video_id", n_frames=4
+    )
+    return frames.select(
+        "video_id", F.col("frame_index").cast("int").alias("frame_index"), "is_stub"
+    )
+
+
 def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: deterministic IVF (md5-seeded centroids, literal-
     array argmax assignment, nprobe bucket probing) — fully expressible
@@ -553,6 +593,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # golden-manifest oracles (closed-form fixture manifests)
         "image_validation": q_image_validation,
         "audio_validation": q_audio_validation,
+        "video_validation": q_video_validation,
+        "video_frame_sample_facts": q_video_frame_sample_facts,
         "subword_count_documents": q_subword_count_documents,
         # sketch, oracle-gated via tolerance booleans vs exact quantiles
         "tdigest_quantiles": q_tdigest_quantiles,
@@ -1028,6 +1070,29 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN i % 10 <> 9 THEN 4000 + (i % 5) * 1000 END::BIGINT AS n_samples,
                    CASE WHEN i % 10 <> 9 THEN 1 END::INT AS n_channels
             FROM (SELECT unnest(generate_series(0, 499)) AS i)
+        """,
+        "video_validation": """
+            SELECT 'vid_' || lpad(i::VARCHAR, 5, '0') AS video_id,
+                   (i % 10 <> 9) AS decode_ok,
+                   CASE WHEN i % 10 <> 9 THEN 16 + (i % 2) * 8 END::INT AS w,
+                   CASE WHEN i % 10 <> 9 THEN 8 + (i % 2) * 8 END::INT AS h,
+                   CASE WHEN i % 10 <> 9 THEN 2 + (i % 4) END::BIGINT AS n_frames,
+                   CASE WHEN i % 10 <> 9 THEN 25 + (i % 2) * 5 END::INT AS fps_num,
+                   CASE WHEN i % 10 <> 9 THEN 1 END::INT AS fps_den,
+                   CASE WHEN i % 10 = 9 THEN NULL
+                        WHEN i % 3 = 0 THEN '420jpeg'
+                        WHEN i % 3 = 1 THEN '444'
+                        ELSE 'mono' END AS colorspace
+            FROM (SELECT unnest(generate_series(0, 499)) AS i)
+        """,
+        "video_frame_sample_facts": """
+            SELECT 'vid_' || lpad(i::VARCHAR, 5, '0') AS video_id,
+                   CASE WHEN i % 10 = 9 THEN k
+                        ELSE least(2 + (i % 4) - 1, (k * (2 + (i % 4))) // 4)
+                   END::INT AS frame_index,
+                   (i % 10 = 9) AS is_stub
+            FROM (SELECT unnest(generate_series(0, 499)) AS i),
+                 (SELECT unnest(generate_series(0, 3)) AS k)
         """,
         "subword_count_documents": r"""
             SELECT doc_id,

@@ -253,3 +253,69 @@ def build_audio_df(spark: SparkSession, n_rows: int, *, partitions: int | None =
             yield pd.DataFrame(rows)
 
     return spark.range(0, n_rows, numPartitions=partitions).mapInPandas(gen, AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# video fixture (multimodal Axis-A: Y4M clips with a closed-form manifest)
+# ---------------------------------------------------------------------------
+
+VIDEO_SCHEMA = "video_id string, payload binary"
+_VIDEO_CS = ("420jpeg", "444", "mono")  # cycled by index: all demux paths
+
+
+def video_manifest_for_index(i: int) -> dict:
+    """Closed-form per-clip facts (the golden manifest): every 10th clip
+    (slot 9) is a malformed payload; the rest are Y4M streams cycling
+    colorspace 420jpeg/444/mono with w = 16 + (i % 2) * 8,
+    h = 8 + (i % 2) * 8 (always even — 420-safe),
+    n_frames = 2 + (i % 4), fps = (25 + (i % 2) * 5):1."""
+    bad = (i % 10) == 9
+    if bad:
+        return {
+            "video_id": f"vid_{i:05d}", "decode_ok": False, "w": None,
+            "h": None, "n_frames": None, "fps_num": None, "fps_den": None,
+            "colorspace": None,
+        }
+    return {
+        "video_id": f"vid_{i:05d}",
+        "decode_ok": True,
+        "w": 16 + (i % 2) * 8,
+        "h": 8 + (i % 2) * 8,
+        "n_frames": 2 + (i % 4),
+        "fps_num": 25 + (i % 2) * 5,
+        "fps_den": 1,
+        "colorspace": _VIDEO_CS[i % 3],
+    }
+
+
+def make_video_row(i: int) -> dict:
+    from .functions.videocodecs import encode_y4m
+
+    m = video_manifest_for_index(i)
+    if not m["decode_ok"]:
+        rng = np.random.default_rng(SEED * 13_000_037 + i)
+        return {"video_id": m["video_id"], "payload": bytearray(rng.bytes(96))}
+    rng = np.random.default_rng(SEED * 13_000_039 + i)
+    n, h, w = m["n_frames"], m["h"], m["w"]
+    shape = (n, h, w) if m["colorspace"] == "mono" else (n, h, w, 3)
+    frames = rng.integers(0, 256, shape, dtype=np.uint8)
+    payload = encode_y4m(
+        frames, fps=(m["fps_num"], m["fps_den"]), colorspace=m["colorspace"]
+    )
+    return {"video_id": m["video_id"], "payload": bytearray(payload)}
+
+
+def build_video_df(spark: SparkSession, n_rows: int, *, partitions: int | None = None) -> DataFrame:
+    """Deterministic distributed Y4M-clip table (index-keyed, like
+    build_audio_df — identical output at any parallelism)."""
+    import pandas as pd
+
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 8)
+
+    def gen(iterator):
+        for pdf in iterator:
+            rows = [make_video_row(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n_rows, numPartitions=partitions).mapInPandas(gen, VIDEO_SCHEMA)

@@ -3,13 +3,14 @@
 Images/audio/video are opaque ``binary`` columns with typed metadata;
 transformations run as Arrow-batched kernels over ``mapInPandas``. The
 image path is fully REAL (this repo ships its own codecs,
-functions/codecs.py) and so is the audio path for RIFF/WAVE PCM
-(functions/audiocodecs.py: pure-numpy decode + spectral features).
-Video demuxing and compressed-audio decoding need libs absent from this
-sandbox, so those remain deterministic STUBS — the Spark-side plumbing
-(schemas, partitioning, UDF signatures, batch shapes) is real and
-tested, and the stub body is the single function to swap for
-pyav/soundfile when available.
+functions/codecs.py), so is the audio path for RIFF/WAVE PCM
+(functions/audiocodecs.py: pure-numpy decode + spectral features), and
+so is the video path for YUV4MPEG2 (functions/videocodecs.py:
+pure-numpy demux + frame decode). Compressed formats (mp3/ogg audio,
+mp4/webm video) need libs absent from this sandbox, so those remain
+deterministic STUBS — the Spark-side plumbing (schemas, partitioning,
+UDF signatures, batch shapes) is real and tested, and the stub body is
+the single function to swap for pyav/soundfile when available.
 """
 
 from __future__ import annotations
@@ -26,6 +27,8 @@ __all__ = [
     "audio_features",
     "audio_payload_report",
     "video_frame_sample",
+    "video_payload_report",
+    "sample_frame_indices",
 ]
 
 #: flip to True only in environments with real audio/video codecs
@@ -195,44 +198,73 @@ def audio_features(
     )
 
 
+def sample_frame_indices(total: int, n_frames: int) -> list:
+    """Uniform frame-sample positions: ``n_frames`` indices spread over
+    ``total`` demuxed frames (closed-form; duplicates when n > total).
+    Module-level so fixture oracles reproduce it exactly."""
+    return [min(total - 1, (k * total) // n_frames) for k in range(n_frames)]
+
+
 def video_frame_sample(
     df: DataFrame, *, bytes_col: str, id_col: str, n_frames: int = 4, allow_stub: bool = True
 ) -> DataFrame:
-    """Uniform frame sampling from video payloads.
+    """Uniform frame sampling from video payloads — REAL for YUV4MPEG2
+    (this repo ships its own pure-numpy Y4M demuxer,
+    functions/videocodecs.py): each payload is demuxed, ``n_frames``
+    uniformly-spread frames are decoded (only those — the kernel never
+    materializes a whole clip) and re-encoded as PPM thumbnails ready
+    for the image operators (resize, features, dedup on frames).
 
-    STUB: real demuxing (pyav/ffmpeg) is unavailable here. The stub
-    emits ``n_frames`` deterministic pseudo-frames (hash-derived 8x8
-    PPM thumbnails) per payload so downstream image operators — resize,
-    features, dedup on frames — run against real binary columns with
-    the exact schema a real demuxer would produce, plus ``is_stub``
-    (always True from the stub, mirroring audio_features) so fabricated
-    frames can never be mistaken for real ones downstream:
+    Compressed containers (mp4/webm) need demuxers absent from this
+    sandbox: with ``allow_stub`` an undecodable payload falls back to
+    ``n_frames`` deterministic hash-derived 8x8 pseudo-frames (so
+    downstream plumbing always has full coverage); with
+    ``allow_stub=False`` undecodable payloads are skipped. Every output
+    row carries ``is_stub`` — False for really-demuxed frames, True for
+    the fallback (mirroring audio_features), so fabricated frames can
+    never be mistaken for real ones downstream:
     (id, frame_index int, frame_bytes binary, is_stub boolean)."""
     import pandas as pd
 
     if REAL_AV_CODECS_AVAILABLE:
-        # the flag's contract: when real codecs exist, the stub body
-        # below must be REPLACED, not silently used — fabricating frames
-        # while claiming real demux would poison downstream consumers
+        # the flag's contract: when real compressed-format demuxers
+        # exist, the fallback body below must be REPLACED, not silently
+        # used — fabricating frames while claiming real demux would
+        # poison downstream consumers
         raise NotImplementedError(
             "REAL_AV_CODECS_AVAILABLE is set but video_frame_sample still "
-            "carries the stub kernel — swap in the pyav/ffmpeg demuxer here"
+            "carries the hash-stub fallback — swap in the pyav/ffmpeg "
+            "demuxer for compressed containers here"
         )
-    if not allow_stub:
-        raise NotImplementedError("video demuxing requires pyav/ffmpeg, absent in this sandbox")
 
     def kernel(iterator):
         from ..functions.codecs import encode_image
+        from ..functions.videocodecs import VideoDecodeError, decode_y4m, probe_y4m
 
         for pdf in iterator:
-            ids, idxs, frames = [], [], []
+            ids, idxs, frames, stubs = [], [], [], []
             for i, blob in zip(pdf[id_col], pdf[bytes_col]):
                 if blob is None:
                     continue
-                # hash the payload ONCE; mix the frame index into the
-                # digest (re-hashing a multi-MB blob per frame was
-                # n_frames x full-payload md5 in the hot kernel)
-                payload_digest = hashlib.md5(bytes(blob)).digest()
+                data = bytes(blob)
+                try:
+                    total = probe_y4m(data)["n_frames"]
+                    picks = sample_frame_indices(total, n_frames)
+                    decoded, _fps = decode_y4m(data, frame_indices=picks)
+                    for k, px in zip(picks, decoded):
+                        ids.append(i)
+                        idxs.append(k)
+                        frames.append(bytearray(encode_image(px, "ppm")))
+                        stubs.append(False)
+                    continue
+                except VideoDecodeError:
+                    if not allow_stub:
+                        continue
+                # fallback: deterministic pseudo-frames. Hash the
+                # payload ONCE; mix the frame index into the digest
+                # (re-hashing a multi-MB blob per frame was n_frames x
+                # full-payload md5 in the hot kernel)
+                payload_digest = hashlib.md5(data).digest()
                 for k in range(n_frames):
                     seed = int.from_bytes(
                         hashlib.md5(payload_digest + k.to_bytes(4, "big")).digest()[:8],
@@ -243,17 +275,74 @@ def video_frame_sample(
                     ids.append(i)
                     idxs.append(k)
                     frames.append(bytearray(encode_image(px, "ppm")))
+                    stubs.append(True)
             yield pd.DataFrame(
                 {
                     id_col: ids,
                     "frame_index": idxs,
                     "frame_bytes": frames,
-                    "is_stub": pd.Series([True] * len(ids), dtype=bool),
+                    "is_stub": pd.Series(stubs, dtype=bool),
                 }
             )
 
     return df.select(id_col, bytes_col).mapInPandas(
         kernel, f"{id_col} string, frame_index int, frame_bytes binary, is_stub boolean"
+    )
+
+
+def video_payload_report(
+    df: DataFrame, *, bytes_col: str = "payload", id_col: str = "video_id"
+) -> DataFrame:
+    """Video analogue of the image/audio payload reports: probe every
+    payload once (REAL for YUV4MPEG2 — header parse + per-FRAME plane-
+    size walk, no pixel materialization), emit compact per-clip outcome
+    columns (decode_ok, w, h, n_frames, fps_num, fps_den, colorspace).
+    Malformed/truncated payloads become decode_ok=false rows, never
+    task failures."""
+    import pandas as pd
+
+    def kernel(iterator):
+        from ..functions.videocodecs import probe_y4m
+
+        for pdf in iterator:
+            n = len(pdf)
+            ok = np.zeros(n, dtype=bool)
+            w = np.zeros(n, dtype=np.int32)
+            h = np.zeros(n, dtype=np.int32)
+            nf = np.zeros(n, dtype=np.int64)
+            fn = np.zeros(n, dtype=np.int32)
+            fd = np.zeros(n, dtype=np.int32)
+            cs: list = [None] * n
+            for j, blob in enumerate(pdf[bytes_col]):
+                if blob is None:
+                    continue
+                try:
+                    meta = probe_y4m(bytes(blob))
+                except Exception:
+                    continue
+                ok[j] = True
+                w[j], h[j] = meta["w"], meta["h"]
+                nf[j] = meta["n_frames"]
+                fn[j], fd[j] = meta["fps_num"], meta["fps_den"]
+                cs[j] = meta["colorspace"]
+            miss = ~ok
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "decode_ok": ok,
+                    "w": pd.arrays.IntegerArray(w, miss.copy()),
+                    "h": pd.arrays.IntegerArray(h, miss.copy()),
+                    "n_frames": pd.arrays.IntegerArray(nf, miss.copy()),
+                    "fps_num": pd.arrays.IntegerArray(fn, miss.copy()),
+                    "fps_den": pd.arrays.IntegerArray(fd, miss.copy()),
+                    "colorspace": pd.Series(cs, dtype=object),
+                }
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(
+        kernel,
+        f"{id_col} string, decode_ok boolean, w int, h int, n_frames bigint, "
+        "fps_num int, fps_den int, colorspace string",
     )
 
 

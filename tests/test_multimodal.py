@@ -211,3 +211,142 @@ def test_video_frames_marked_stub(spark):
     )
     rows = video_frame_sample(df, bytes_col="payload", id_col="vid", n_frames=2).collect()
     assert rows and all(r["is_stub"] for r in rows)
+
+
+def test_y4m_codec_roundtrip():
+    import numpy as np
+
+    from oblate_spark.functions.videocodecs import (
+        VideoDecodeError,
+        decode_y4m,
+        encode_y4m,
+        probe_y4m,
+    )
+
+    rng = np.random.default_rng(7)
+    # mono is bit-exact through the luma plane
+    gray = rng.integers(0, 256, (3, 8, 16), dtype=np.uint8)
+    blob = encode_y4m(gray, fps=(30, 1), colorspace="mono")
+    meta = probe_y4m(blob)
+    assert meta == {
+        "colorspace": "mono", "w": 16, "h": 8,
+        "fps_num": 30, "fps_den": 1, "n_frames": 3,
+    }
+    frames, fps = decode_y4m(blob)
+    assert fps == (30, 1) and frames.shape == (3, 8, 16, 3)
+    assert (frames[:, :, :, 0] == gray).all()  # gray-replicated channels
+    assert (frames[:, :, :, 1] == gray).all()
+
+    # 444 survives RGB->YUV->RGB within rounding (+-1 count)
+    rgb = rng.integers(0, 256, (4, 8, 8, 3), dtype=np.uint8)
+    back, _ = decode_y4m(encode_y4m(rgb, colorspace="444"))
+    assert np.abs(back.astype(int) - rgb.astype(int)).max() <= 1
+
+    # 420 subsamples chroma but keeps luma within subsampling error
+    b420 = encode_y4m(rgb, colorspace="420jpeg")
+    assert probe_y4m(b420)["colorspace"] == "420jpeg"
+    picked, _ = decode_y4m(b420, frame_indices=[2, 0])
+    assert picked.shape == (2, 8, 8, 3)
+    luma = lambda a: a[..., 0] * 0.299 + a[..., 1] * 0.587 + a[..., 2] * 0.114
+    assert np.abs(luma(picked[0].astype(float)) - luma(rgb[2].astype(float))).max() < 4
+
+    # selective decode matches full decode frame-for-frame
+    full, _ = decode_y4m(b420)
+    assert (picked[0] == full[2]).all() and (picked[1] == full[0]).all()
+
+    with pytest.raises(VideoDecodeError):
+        decode_y4m(b420, frame_indices=[99])
+    for bad in (
+        b"", b"garbage", b"YUV4MPEG2 W4 H4\n", blob[:20],
+        b420[: len(b420) - 3],  # truncated last frame
+        encode_y4m(rgb, colorspace="444")[:60],
+    ):
+        with pytest.raises(VideoDecodeError):
+            probe_y4m(bad)
+
+    # odd dims reject 420 on both ends
+    odd = rng.integers(0, 256, (1, 7, 8, 3), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        encode_y4m(odd, colorspace="420jpeg")
+
+
+def test_y4m_probe_never_misraises():
+    """Fuzz: arbitrary byte mutations of a valid stream either probe
+    fine or raise VideoDecodeError — never any other exception (the
+    kernel's no-task-failure contract)."""
+    import numpy as np
+
+    from oblate_spark.functions.videocodecs import (
+        VideoDecodeError, encode_y4m, probe_y4m,
+    )
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, (2, 4, 4, 3), dtype=np.uint8)
+    base = bytearray(encode_y4m(rgb, colorspace="444"))
+    for trial in range(200):
+        blob = bytearray(base)
+        for _ in range(rng.integers(1, 4)):
+            blob[rng.integers(0, len(blob))] = rng.integers(0, 256)
+        try:
+            probe_y4m(bytes(blob))
+        except VideoDecodeError:
+            pass
+    for trial in range(100):
+        junk = rng.integers(0, 256, rng.integers(0, 200), dtype=np.uint8).tobytes()
+        try:
+            probe_y4m(junk)
+        except VideoDecodeError:
+            pass
+
+
+def test_video_frame_sample_real(spark):
+    """Y4M payloads demux REALLY: sampled frames carry is_stub=False,
+    the closed-form sampler indices, and pixel content matching the
+    encoded source (mono = exact)."""
+    import numpy as np
+
+    from oblate_spark.functions.codecs import decode_image
+    from oblate_spark.functions.videocodecs import encode_y4m
+    from oblate_spark.operators.multimodal import sample_frame_indices, video_frame_sample
+
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, (6, 8, 8), dtype=np.uint8)
+    rows = [
+        ("real", bytearray(encode_y4m(gray, colorspace="mono"))),
+        ("junk", bytearray(b"not a video")),
+    ]
+    df = spark.createDataFrame(rows, "video_id string, payload binary")
+    out = video_frame_sample(df, bytes_col="payload", id_col="video_id", n_frames=4)
+    got = {(r["video_id"], r["frame_index"]): r for r in out.collect()}
+
+    expect_real = sample_frame_indices(6, 4)  # [0, 1, 3, 4]
+    assert sorted(k for v, k in got if v == "real") == sorted(expect_real)
+    for k in expect_real:
+        r = got[("real", k)]
+        assert r["is_stub"] is False
+        px = decode_image(bytes(r["frame_bytes"]))
+        assert (px[:, :, 0] == gray[k]).all()
+    assert all(got[("junk", k)]["is_stub"] is True for k in range(4))
+
+    # allow_stub=False drops undecodable payloads instead
+    strict = video_frame_sample(
+        df, bytes_col="payload", id_col="video_id", n_frames=4, allow_stub=False
+    )
+    assert {r["video_id"] for r in strict.collect()} == {"real"}
+
+
+def test_video_payload_report_and_fixture_manifest(spark):
+    """video_payload_report matches the closed-form fixture manifest
+    row-for-row (the video_validation oracle, in miniature)."""
+    from oblate_spark import fixtures
+    from oblate_spark.operators.multimodal import video_payload_report
+
+    n = 30
+    rep = video_payload_report(fixtures.build_video_df(spark, n))
+    by_id = {r["video_id"]: r for r in rep.collect()}
+    assert len(by_id) == n
+    for i in range(n):
+        m = fixtures.video_manifest_for_index(i)
+        r = by_id[m["video_id"]]
+        for k in ("decode_ok", "w", "h", "n_frames", "fps_num", "fps_den", "colorspace"):
+            assert r[k] == m[k], (i, k, r[k], m[k])
