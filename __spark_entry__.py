@@ -383,6 +383,26 @@ def q_sessionization_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(ev, user_col="user_id", ts_col="ts", gap_minutes=30)
 
 
+def q_sessionization_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming operator's disorder contract, oracle-visible:
+    replay events as 4 time-ordered microbatches through fold_sessions
+    (the exact applyInPandasWithState kernel), carry state across batch
+    boundaries, flush the final open session — and aggregate to the
+    same per-user stats the BATCH operator produces. The oracle is the
+    batch sessionization SQL, so stream == batch is hash-checked."""
+    from oblate_spark.streaming.sessions_stream import replay_sessions_batched
+
+    ev = _read(spark, sf_dir, "events")
+    sessions = replay_sessions_batched(
+        ev, user_col="user_id", ts_col="ts", gap_minutes=30, n_batches=4
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.max("n_events").cast("bigint").alias("max_session_events"),
+    )
+
+
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oblate_spark.operators.similarity import knn_bruteforce
 
@@ -589,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
         "dup_clusters_documents": q_dup_clusters_documents,
         "sessionization_events": q_sessionization_events,
+        "sessionization_stream_replay": q_sessionization_stream_replay,
         "events_hourly_counts": q_events_hourly_counts,
         # golden-manifest oracles (closed-form fixture manifests)
         "image_validation": q_image_validation,
@@ -1008,6 +1029,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b,
                    round(list_cosine_similarity(va, vb), 6)::DOUBLE AS cosine
             FROM cand WHERE list_cosine_similarity(va, vb) >= 0.9999
+        """,
+        # stream replay must equal the batch twin, so both keys share
+        # the same batch-sessionization oracle
+        "sessionization_stream_replay": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                              OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events),
+            sess AS (
+                SELECT user_id,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM flagged),
+            per AS (SELECT user_id, session_id, count(*) AS events
+                    FROM sess GROUP BY user_id, session_id)
+            SELECT user_id, count(*)::BIGINT AS n_sessions,
+                   sum(events)::BIGINT AS n_events,
+                   max(events)::BIGINT AS max_session_events
+            FROM per GROUP BY user_id
         """,
         "sessionization_events": """
             WITH flagged AS (

@@ -38,7 +38,12 @@ from typing import Any, Iterator
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["sessionize_stream", "fold_sessions", "SESSION_OUTPUT_SCHEMA"]
+__all__ = [
+    "sessionize_stream",
+    "fold_sessions",
+    "replay_sessions_batched",
+    "SESSION_OUTPUT_SCHEMA",
+]
 
 
 def fold_sessions(state, ts, gap):
@@ -176,3 +181,79 @@ def sessionize_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def replay_sessions_batched(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    n_batches: int = 4,
+) -> DataFrame:
+    """Replay a BATCH event table through the streaming fold as
+    ``n_batches`` time-ordered microbatches — the operator's disorder
+    contract (stream == batch for ordered microbatch splits), runnable
+    without a streaming query so the equivalence the property tests pin
+    is also oracle-visible.
+
+    Events are split into ``n_batches`` equal event-time spans (the
+    shape of time-ordered microbatches); per user, ``fold_sessions`` —
+    the exact per-key kernel ``sessionize_stream`` runs — is applied to
+    each batch slice in order, carrying the open-session state across
+    batch boundaries; the final open session is flushed
+    (``closed_by='flush'``, the watermark-timeout analogue). Output:
+    (user_id, session_start double, session_end double,
+    n_events bigint, closed_by string) — epoch seconds, aggregate-ready.
+
+    Distribution: one shuffle on user_id (identical to the streaming
+    operator's state partitioning); per-group memory is the user's
+    events, the same as any windowed sessionization group."""
+    import pandas as pd
+
+    gap = float(gap_minutes) * 60.0
+    sec = F.col(ts_col).cast("timestamp").cast("double")
+    bounds = events.select(
+        F.min(sec).alias("mn"), F.max(sec).alias("mx")
+    ).collect()[0]  # bounded collect: two scalars
+    mn, mx = bounds["mn"], bounds["mx"]
+    out_schema = (
+        "user_id string, session_start double, session_end double, "
+        "n_events bigint, closed_by string"
+    )
+    ev = events.select(
+        F.col(user_col).cast("string").alias("user_id"), sec.alias("sec")
+    )
+    if mn is None:
+        return ev.sparkSession.createDataFrame([], out_schema)
+    span = max(float(mx) - float(mn), 1e-9)
+    ev = ev.withColumn(
+        "batch",
+        F.least(
+            F.lit(n_batches - 1),
+            F.floor((F.col("sec") - F.lit(float(mn))) / F.lit(span) * n_batches),
+        ).cast("int"),
+    )
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("sec")
+        uid = pdf["user_id"].iloc[0]
+        state = None
+        out: list = []
+        for b in range(n_batches):
+            ts = pdf.loc[pdf["batch"] == b, "sec"].tolist()
+            closed, state = fold_sessions(state, ts, gap)
+            out.extend((s, e, c, "gap") for s, e, c in closed)
+        if state is not None:
+            out.append((*state, "flush"))
+        return pd.DataFrame(
+            {
+                "user_id": [uid] * len(out),
+                "session_start": [o[0] for o in out],
+                "session_end": [o[1] for o in out],
+                "n_events": pd.array([o[2] for o in out], dtype="Int64"),
+                "closed_by": [o[3] for o in out],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(fn, out_schema)

@@ -464,3 +464,59 @@ def test_fold_sessions_split_equivalence_properties():
         assert (sorted(closed_all2), state2) == exp, (events, gap, merged_batches)
 
     check()
+
+
+def test_replay_sessions_batched_matches_batch_twin(spark):
+    """The batch replay of the streaming fold (time-ordered microbatch
+    splits + state carry + final flush) reproduces session_stats exactly,
+    including sessions that straddle microbatch boundaries; disorder
+    WITHIN a batch slice is sorted away like a real microbatch."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from oblate_spark.operators.sessions import session_stats
+    from oblate_spark.streaming.sessions_stream import replay_sessions_batched
+
+    base = datetime(2024, 1, 1, 8, 0, 0).timestamp()
+    rows = []
+    # user a: two sessions; the first straddles the batch boundary of a
+    # 4-way split over the full time range
+    for off_min in (0, 10, 20, 30, 40, 200, 210):
+        rows.append(("a", datetime.fromtimestamp(base + off_min * 60)))
+    # user b: events deliberately appended out of order (in-batch disorder)
+    for off_min in (500, 480, 470):
+        rows.append(("b", datetime.fromtimestamp(base + off_min * 60)))
+    ev = spark.createDataFrame(rows, "user_id string, ts timestamp")
+
+    for k in (1, 2, 4, 7):
+        replay = replay_sessions_batched(
+            ev, user_col="user_id", ts_col="ts", gap_minutes=30, n_batches=k
+        )
+        agg = (
+            replay.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+                F.sum("n_events").cast("bigint").alias("n_events"),
+                F.max("n_events").cast("bigint").alias("max_session_events"),
+            )
+        )
+        got = {r["user_id"]: (r["n_sessions"], r["n_events"], r["max_session_events"])
+               for r in agg.collect()}
+        want = {r["user_id"]: (r["n_sessions"], r["n_events"], r["max_session_events"])
+                for r in session_stats(ev, gap_minutes=30).collect()}
+        assert got == want, (k, got, want)
+
+    # every user's newest session is the flushed open one
+    replay = replay_sessions_batched(ev, gap_minutes=30, n_batches=4)
+    newest = {}
+    for r in replay.collect():
+        cur = newest.get(r["user_id"])
+        if cur is None or r["session_start"] > cur["session_start"]:
+            newest[r["user_id"]] = r
+    assert all(r["closed_by"] == "flush" for r in newest.values())
+
+    # empty input -> empty, correctly typed
+    empty = replay_sessions_batched(ev.limit(0), n_batches=4)
+    assert empty.count() == 0
+    assert empty.schema["n_events"].dataType.simpleString() == "bigint"
