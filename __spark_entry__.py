@@ -561,6 +561,48 @@ def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "quantile double, within_bounds boolean")
 
 
+def q_grouped_tdigest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-KEY t-digest quantiles (salted two-phase — the aggregate
+    where explicit salting genuinely rescues skew, since an
+    applyInPandas sketch has no map-side combine), oracle-gated by
+    tolerance booleans per (event_type, quantile): the sketch estimate
+    must sit within 1% of the group's value range of the exact per-group
+    percentile. Same golden-expected gate as tdigest_quantiles."""
+    from oblate_spark.operators.drift import grouped_tdigest_quantiles
+
+    ev = _read(spark, sf_dir, "events")
+    probs = (0.25, 0.5, 0.75)
+    sk = grouped_tdigest_quantiles(
+        ev, "event_type", "value", probs, salt_buckets=8
+    )
+    exact = ev.groupBy(F.col("event_type").cast("string").alias("key")).agg(
+        F.expr("percentile(value, array(0.25, 0.5, 0.75))").alias("exact"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+    ex = exact.select(
+        "key",
+        "lo",
+        "hi",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(float(p)) for p in probs]).alias("q"),
+                F.col("exact").alias("v"),
+            )
+        ).alias("z"),
+    ).select(
+        "key", "lo", "hi",
+        F.col("z.q").alias("quantile"),
+        F.col("z.v").alias("exact_v"),
+    )
+    eps = F.greatest(0.01 * (F.col("hi") - F.col("lo")), F.lit(1e-9))
+    return sk.join(ex, ["key", "quantile"]).select(
+        F.col("key").alias("event_type"),
+        "quantile",
+        (F.abs(F.col("value") - F.col("exact_v")) <= eps).alias("within_bounds"),
+    )
+
+
 def q_drift_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI and KS from the ONE single-scan ``drift_statistics_flagged``
     pass — the registered surface matching the operator's real cost (the
@@ -619,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subword_count_documents": q_subword_count_documents,
         # sketch, oracle-gated via tolerance booleans vs exact quantiles
         "tdigest_quantiles": q_tdigest_quantiles,
+        "grouped_tdigest_events": q_grouped_tdigest_events,
     }
 
 
@@ -885,6 +928,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(0.25 AS DOUBLE) AS quantile, true AS within_bounds
             UNION ALL SELECT CAST(0.5 AS DOUBLE), true
             UNION ALL SELECT CAST(0.75 AS DOUBLE), true
+        """,
+        "grouped_tdigest_events": """
+            SELECT event_type, q AS quantile, true AS within_bounds
+            FROM (SELECT DISTINCT event_type FROM events),
+                 (SELECT unnest([0.25, 0.5, 0.75]::DOUBLE[]) AS q)
         """,
         "categorical_psi_events": f"""
             WITH e AS (SELECT event_type, count(*)::DOUBLE AS c FROM events

@@ -35,6 +35,7 @@ __all__ = [
     "drift_statistics_flagged",
     "drift_report",
     "tdigest_quantiles",
+    "grouped_tdigest_quantiles",
 ]
 
 
@@ -325,6 +326,106 @@ def tdigest_quantiles(
     merged = TDigest.from_rows([(r["mean"], r["weight"]) for r in partials], comp)
     merged._compress()
     return {q: merged.quantile(q) for q in quantiles}
+
+
+def grouped_tdigest_quantiles(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75),
+    *,
+    compression: int = 100,
+    salt_buckets: Optional[int] = None,
+) -> DataFrame:
+    """Per-KEY quantiles via t-digest sketches:
+    (key string, quantile double, value double) rows.
+
+    This is the aggregate where explicit salting genuinely rescues skew
+    (unlike count — see stats.duplicate_keys: algebraic aggregates get
+    map-side partial aggregation for free). A custom sketch built in an
+    ``applyInPandas`` group has NO map-side combine: unsalted, every row
+    of a key converges on ONE Arrow python worker, so a hot key (30% of
+    a 10^12-row table) is a straggler task holding 30% of the data.
+
+    ``salt_buckets=B`` runs the classic two-phase shape instead:
+    phase 1 digests per (key, salt) — the hot key's rows spread over B
+    workers, each emitting <= ``compression`` centroids; phase 2 merges
+    <= B x compression centroid rows per key (t-digests merge into a
+    valid digest) and reads the quantiles off the merged sketch. Phase-2
+    input is sketch-sized, not data-sized, so no task ever holds a
+    data-proportional share of a hot key.
+
+    The salt is the physical partition id (deterministic per scan
+    layout, value-independent — a constant-valued hot key still
+    spreads). Sketch results depend on centroid merge order either way,
+    so salted vs unsalted agree to sketch tolerance, not bit-exactly.
+    """
+    import pandas as pd
+
+    comp = compression
+    probs = [float(q) for q in quantiles]
+    out_schema = "key string, quantile double, value double"
+
+    def digest_rows(values: np.ndarray) -> "pd.DataFrame":
+        d = TDigest(comp)
+        d.add(values)
+        d._compress()
+        rows = d.to_rows()
+        return rows
+
+    base = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("double").alias("val"),
+    ).where(F.col("val").isNotNull())
+
+    if not salt_buckets:
+
+        def one_phase(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            key = pdf["key"].iloc[0]
+            d = TDigest(comp)
+            d.add(pdf["val"].to_numpy(dtype=np.float64))
+            return pd.DataFrame(
+                {
+                    "key": [key] * len(probs),
+                    "quantile": probs,
+                    "value": [d.quantile(q) for q in probs],
+                }
+            )
+
+        return base.groupBy("key").applyInPandas(one_phase, out_schema)
+
+    salt = F.pmod(F.spark_partition_id(), F.lit(int(salt_buckets)))
+
+    def partial(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        rows = digest_rows(pdf["val"].to_numpy(dtype=np.float64))
+        return pd.DataFrame(
+            {
+                "key": [pdf["key"].iloc[0]] * len(rows),
+                "mean": [m for m, _ in rows],
+                "weight": [w for _, w in rows],
+            }
+        )
+
+    partials = (
+        base.withColumn("salt", salt)
+        .groupBy("key", "salt")
+        .applyInPandas(partial, "key string, mean double, weight double")
+    )
+
+    def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        d = TDigest.from_rows(
+            list(zip(pdf["mean"].to_numpy(), pdf["weight"].to_numpy())), comp
+        )
+        d._compress()
+        return pd.DataFrame(
+            {
+                "key": [pdf["key"].iloc[0]] * len(probs),
+                "quantile": probs,
+                "value": [d.quantile(q) for q in probs],
+            }
+        )
+
+    return partials.groupBy("key").applyInPandas(merge, out_schema)
 
 
 def categorical_histogram(df: DataFrame, col: str) -> DataFrame:

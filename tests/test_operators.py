@@ -333,3 +333,43 @@ def test_ivf_empty_corpus_returns_empty(spark):
     assert assigned.count() == 0 and cents.count() == 0
     res = knn_ivf(empty, empty, id_col="id", vec_col="vec", k=3)
     assert res.count() == 0
+
+
+def test_grouped_tdigest_quantiles_salted_and_not(spark):
+    """Per-key sketch quantiles track the exact per-group percentile in
+    both shapes; the salted two-phase (the skew-rescue path: phase-2
+    input is sketch-sized, never data-sized) agrees with unsalted to
+    sketch tolerance; all-null groups are dropped in both."""
+    from pyspark.sql import functions as F
+
+    from oblate_spark.operators import drift
+
+    df = spark.range(40_000).select(
+        F.concat(F.lit("g"), F.pmod(F.col("id"), F.lit(4)).cast("string")).alias("k"),
+        (F.rand(11) * 50 + F.pmod(F.col("id"), F.lit(4)) * 100).cast("double").alias("x"),
+    )
+    nulls = spark.range(10).select(
+        F.lit("all_null").alias("k"), F.lit(None).cast("double").alias("x")
+    )
+    df = df.unionByName(nulls)
+
+    exact = {
+        (r["k"], q): float(v)
+        for r in df.groupBy("k")
+        .agg(F.expr("percentile(x, array(0.25, 0.5, 0.75))").alias("e"))
+        .collect()
+        if r["e"] is not None
+        for q, v in zip((0.25, 0.5, 0.75), r["e"])
+    }
+    results = {}
+    for label, kw in (("plain", {}), ("salted", {"salt_buckets": 8})):
+        rows = drift.grouped_tdigest_quantiles(
+            df, "k", "x", (0.25, 0.5, 0.75), **kw
+        ).collect()
+        got = {(r["key"], r["quantile"]): r["value"] for r in rows}
+        assert set(got) == set(exact), label  # all_null group absent
+        for key, v in got.items():
+            assert abs(v - exact[key]) <= 1.5, (label, key, v, exact[key])
+        results[label] = got
+    for key in results["plain"]:
+        assert abs(results["plain"][key] - results["salted"][key]) <= 2.0, key
