@@ -232,3 +232,24 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_validate_lineitem_plan_is_single_stage(spark):
+    """Pin the flagship row-level query's plan shape so a real plan
+    regression can never hide behind bench-host noise (the per-query
+    timing table is measured on a bursty box): one parquet scan, one
+    Generate (the violations explode), ZERO exchanges, zero Python
+    stages, and every operator inside a single codegen stage."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["validate_lineitem"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert plan.count("Exchange") == 0, plan[:2000]
+    assert "EvalPython" not in plan, plan[:2000]
+    nodes = [l.strip() for l in plan.splitlines() if re.match(r"^\s*\(\d+\)", l)]
+    assert sum("Scan parquet" in n for n in nodes) == 1, nodes
+    assert sum(bool(re.match(r"\(\d+\) Generate", n)) for n in nodes) == 1, nodes
+    codegen_ids = set(re.findall(r"codegen id : (\d+)", plan))
+    assert codegen_ids == {"1"}, (codegen_ids, nodes)
