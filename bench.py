@@ -354,7 +354,13 @@ def main() -> None:
             samples_eng: dict[int, list[float]] = {}
             samples_ctl: dict[int, list[float]] = {}
             for c in points:
-                samples_eng[c] = run_scaling_series(c, images_path, TIMED_RUNS)
+                # double the draws at HI points: they are cheap (a hi
+                # run costs ~1/4 of a lo run) and an interference burst
+                # inflating the hi point is what UNDERSTATES efficiency
+                # under the min-of-noise estimator (an inflated lo point
+                # can only overstate it, which pooled selection rejects)
+                runs_c = TIMED_RUNS if c <= 8 else 2 * TIMED_RUNS
+                samples_eng[c] = run_scaling_series(c, images_path, runs_c)
                 # low proc counts need more control samples: a burst
                 # there inflates the lo point, and min-of-noise only
                 # works with enough draws
@@ -373,11 +379,17 @@ def main() -> None:
 
         per_sweep = [sweep_stats(k) for k in range(K_SWEEPS)]
         effs = [s["efficiency"] for s in per_sweep]
-        best_k = max(range(K_SWEEPS), key=lambda k: effs[k])
         import statistics
 
         # pooled: global min across every round's samples per point —
-        # the same min-of-noise estimator with K x the draws
+        # the same min-of-noise estimator with K x the draws. This IS
+        # the headline: under the noise model (measured = quiet +
+        # nonnegative interference), per-point minima give the least-
+        # noise estimate; a single round can only beat it through an
+        # INFLATED lo point (slow lo -> superlinear-looking ratio), so
+        # a per-round value above pooled is an artifact, never a better
+        # measurement. Rounds with efficiency > 1.0 are flagged invalid
+        # for the best-round statistic for the same reason.
         pooled_eng = {
             c: min(min(sw["engine"][c]) for sw in sweeps if c in sw["engine"])
             for c in all_points
@@ -390,22 +402,25 @@ def main() -> None:
             f"{lo}->{hi}": _pairing_stats(lo, hi, pooled_eng, pooled_ctl)
             for lo, hi in PAIRINGS
         }
-        head = per_sweep[best_k]  # best coherent round = the headline
+        valid = [k for k in range(K_SWEEPS) if effs[k] <= 1.0]
+        best_valid = max((effs[k] for k in valid), default=None)
+        head = pairings[f"{head_lo}->{head_hi}"]  # pooled = the headline
         result["scaling"] = {
             **head,  # headline pairing at the top level (cores_lo/hi, efficiency, ...)
             "headline_pairing": f"{head_lo}->{head_hi}",
             "n_sweeps": K_SWEEPS,
-            "best_sweep": best_k + 1,
             "efficiency_per_sweep": effs,
+            "efficiency_best_valid_sweep": best_valid,
             "efficiency_median": round(statistics.median(effs), 3),
-            "efficiency_pooled": pairings[f"{head_lo}->{head_hi}"]["efficiency"],
             "pairings": pairings,  # pooled mins (incl. saturated 8->32)
             "estimator": (
-                f"best of {K_SWEEPS} interleaved sweep rounds; each round is "
-                f"min of {TIMED_RUNS} steady-state samples per point "
-                "(fresh JVM per point, subset-file warm-up + codegen JIT "
-                "excluded, cache cleared between samples); median and pooled "
-                "(global-min) estimates reported alongside"
+                f"pooled min-of-noise across {K_SWEEPS} interleaved sweep "
+                f"rounds ({TIMED_RUNS} lo / {2 * TIMED_RUNS} hi steady-state "
+                "samples per point per round, fresh JVM per point, subset-file "
+                "warm-up + codegen JIT excluded, cache cleared between "
+                "samples); per-round raw efficiencies and their median "
+                "reported alongside, rounds > 1.0 flagged as lo-point "
+                "artifacts"
             ),
             "sweeps": [
                 {
@@ -484,10 +499,10 @@ def _append_run_log(result: dict) -> list[dict]:
     entry = {
         "value": result.get("value"),
         "headline_pairing": sc.get("headline_pairing"),
-        "efficiency": sc.get("efficiency"),
+        "efficiency": sc.get("efficiency"),  # pooled min-of-noise headline
         "efficiency_per_sweep": sc.get("efficiency_per_sweep"),
         "efficiency_median": sc.get("efficiency_median"),
-        "efficiency_pooled": sc.get("efficiency_pooled"),
+        "efficiency_best_valid_sweep": sc.get("efficiency_best_valid_sweep"),
         "engine_relative": result.get("engine_relative_efficiency"),
         "saturated_efficiency": sc.get("pairings", {})
         .get("8->32", {})
@@ -566,7 +581,8 @@ def _write_baseline_md(result: dict) -> None:
     sc = result.get("scaling", {})
     pairings = sc.get("pairings", {})
     pooled_engine: dict[int, float] = {}
-    for sw in sc.get("sweeps", []):
+    legacy_samples = [sc["samples"]] if "samples" in sc else []  # pre-sweep keepers
+    for sw in sc.get("sweeps", legacy_samples):
         for c, v in sw.get("engine", {}).items():
             c = int(c)
             m = min(v)
@@ -611,16 +627,23 @@ def _write_baseline_md(result: dict) -> None:
         "",
         "| pairing | engine eff | control eff | engine-relative |",
         "|---|---|---|---|",
-        f"| {sc.get('headline_pairing')} (best of {sc.get('n_sweeps')} rounds, HEADLINE) "
-        f"| {sc.get('efficiency')} | {sc.get('ctl_efficiency')} | {sc.get('engine_relative')} |",
     ] + [
-        f"| {name} (pooled mins) | {p['efficiency']} | {p['ctl_efficiency']} | {p['engine_relative']} |"
+        f"| {name}{' (HEADLINE)' if name == sc.get('headline_pairing') else ''} "
+        f"| {p['efficiency']} | {p['ctl_efficiency']} | {p['engine_relative']} |"
         for name, p in pairings.items()
-    ] + [
-        "",
-        f"Per-round headline efficiency: {sc.get('efficiency_per_sweep')} —",
-        f"best {sc.get('efficiency')}, median {sc.get('efficiency_median')},",
-        f"pooled (global-min estimator) {sc.get('efficiency_pooled')}.",
+    ] + (
+        [
+            "",
+            f"Headline = pooled min-of-noise over {sc.get('n_sweeps')} interleaved",
+            f"rounds. Per-round raw efficiencies: {sc.get('efficiency_per_sweep')}",
+            f"(median {sc.get('efficiency_median')}, best valid round",
+            f"{sc.get('efficiency_best_valid_sweep')}; rounds > 1.0 are lo-point",
+            "interference artifacts and excluded from the best-round statistic).",
+        ]
+        if sc.get("n_sweeps")
+        else ["", "(kept run predates the interleaved-round sweep: single sweep,",
+              "min-of-4 samples per point)"]
+    ) + [
         "",
         "(A control efficiency > 1.0 is physically superlinear — its",
         "lo-point samples landed in an interference burst; the",

@@ -464,3 +464,123 @@ def test_incremental_validator_cleanup_hook_called_per_batch(spark, tmp_path):
     t.append(spark.createDataFrame([(3, "c", 70)], "id long, name string, score long"))
     iv.validate_new()
     assert seen == [0, 1]
+
+
+def test_resumable_run_uri_and_multi_dir_source(spark, tmp_path):
+    """The source listing goes through the Hadoop FileSystem API
+    (object-store-safe): a file: URI and a LIST of directories both
+    resolve; recorded lineage carries the listed URIs."""
+    src_a = str(tmp_path / "src_a")
+    src_b = str(tmp_path / "src_b")
+    spark.range(0, 300, numPartitions=2).write.parquet(src_a)
+    spark.range(300, 500, numPartitions=2).write.parquet(src_b)
+
+    # file: URI form of a single dir
+    r_uri = ResumableRun(
+        spark, "file://" + src_a, str(tmp_path / "run_uri"), group_size=2
+    )
+    out = r_uri.run(lambda df: df.selectExpr("id"))
+    assert sum(1 for _ in out["groups"]) >= 1
+    assert all(
+        f.startswith("file:") for g in out["groups"].values() for f in g["files"]
+    )
+    assert r_uri.output().count() == 300
+
+    # multi-dir source (the multi-partition-directory shape)
+    r_multi = ResumableRun(
+        spark, [src_a, src_b], str(tmp_path / "run_multi"), group_size=3
+    )
+    r_multi.run(lambda df: df.selectExpr("id"))
+    assert r_multi.output().count() == 500
+
+    with pytest.raises(ValueError, match="no parquet files"):
+        ResumableRun(spark, str(tmp_path / "empty_dir"), str(tmp_path / "run_e"))
+
+
+def test_rebase_purges_superseded_upto_dirs(spark, tmp_path):
+    """ADVICE fix: a rebase (cut append chain) writes a FULL
+    revalidation, so every committed upto-* dir must be deleted first —
+    otherwise a reader aggregating upto-* double-counts all previously
+    validated rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from oblate_spark.checkpoint import IncrementalValidator
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    s1 = t.write(spark.createDataFrame([(1, "a"), (2, None)], "id long, name string"))
+    run_dir = str(tmp_path / "ivrun")
+
+    def job(batch):
+        return batch.filter(F.col("name").isNull()).select(
+            F.col("id").cast("string").alias("row_id"),
+            F.lit("name").alias("field_key"),
+            F.lit("none.disallowed").alias("error_code"),
+            F.lit("x").alias("message"),
+            F.lit(None).cast("string").alias("value_repr"),
+            F.lit(-1).alias("partition_id"),
+        )
+
+    iv = IncrementalValidator(t, job=job, run_dir=run_dir)
+    iv.validate_new()  # upto-<s1> committed
+    t.append(spark.createDataFrame([(3, None)], "id long, name string"))
+    iv.validate_new()  # upto-<s2> committed
+    assert len([d for d in os.listdir(run_dir) if d.startswith("upto-")]) == 2
+
+    # cut the chain: overwrite commit -> the next validate_new rebases
+    t.write(spark.createDataFrame([(9, None), (10, "z")], "id long, name string"))
+    entry = iv.validate_new()
+    assert entry["rebase"] is True
+    upto = [d for d in os.listdir(run_dir) if d.startswith("upto-")]
+    assert len(upto) == 1  # superseded dirs are gone
+    # an upto-* aggregating reader sees exactly the current table's truth
+    agg = spark.read.parquet(*(os.path.join(run_dir, d) for d in upto))
+    assert [r["row_id"] for r in agg.collect()] == ["9"]
+
+
+def test_incremental_uniqueness_broadcast_guard(spark):
+    """Above max_broadcast_keys the probe must fall back from the
+    explicit broadcast hint to a plain join (AQE decides) — a
+    backfill-sized batch can't OOM the driver. Results are identical on
+    both paths; the static plans differ in join strategy."""
+    from oblate_spark.operators.stats import incremental_uniqueness_violations
+
+    batch = spark.createDataFrame(
+        [(1, "k1"), (2, "k2"), (3, "k3")], "rid long, k string"
+    )
+    history = spark.createDataFrame([("k2",), ("k9",)], "k string")
+
+    def rows(**kw):
+        out = incremental_uniqueness_violations(
+            batch, history, ["k"], row_id="rid", **kw
+        )
+        return sorted(
+            (r["row_id"], r["error_code"]) for r in out.collect()
+        )
+
+    assert rows() == rows(max_broadcast_keys=0) == [("2", "unique.exists")]
+
+    import io
+    from contextlib import redirect_stdout
+
+    def plan(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain()
+        return buf.getvalue()
+
+    # size-based auto-broadcast off: what remains in the plan is ONLY
+    # what the guard's explicit hint contributes
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bc = incremental_uniqueness_violations(batch, history, ["k"], row_id="rid")
+        fb = incremental_uniqueness_violations(
+            batch, history, ["k"], row_id="rid", max_broadcast_keys=0
+        )
+        assert "Broadcast" in plan(bc)
+        # above the threshold no broadcast hint survives anywhere —
+        # the probe AND the collided join both fall back to shuffles
+        assert "Broadcast" not in plan(fb)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
