@@ -451,7 +451,7 @@ def main() -> None:
         result["engine_relative_efficiency"] = head["engine_relative"]
 
         if os.environ.get("OBLATE_BENCH_SKIP_SKEW") != "1":
-            result["skew_demo"] = {
+            demo = {
                 "rows": 8_000_000,
                 "hot_fraction": 0.3,
                 "note": (
@@ -464,6 +464,13 @@ def main() -> None:
                 ),
                 "cores": {str(c): skew_demo_at(c) for c in (8, CPUS)},
             }
+            result["skew_demo"] = demo
+            demo_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH", "skew_demo.json"
+            )
+            os.makedirs(os.path.dirname(demo_path), exist_ok=True)
+            with open(demo_path, "w") as f:  # survives best-run selection
+                json.dump(demo, f, indent=1)
 
         # reference single-node comparison (izxxr/oblate is a pure-python
         # row-at-a-time library; this measures it on the same rows)
@@ -688,6 +695,16 @@ def _write_baseline_md(result: dict) -> None:
         "phash, single bytes scan, report materialized then branched.",
     ]
     skew = result.get("skew_demo") or current_skew
+    if skew is None:  # fall back to the last recorded demonstration
+        demo_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH", "skew_demo.json"
+        )
+        if os.path.exists(demo_path):
+            try:
+                with open(demo_path) as f:
+                    skew = json.load(f)
+            except (ValueError, OSError):
+                skew = None
     if skew:
         cores_keys = sorted(skew.get("cores", {}), key=int)
         lines += [
