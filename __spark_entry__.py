@@ -561,6 +561,48 @@ def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "quantile double, within_bounds boolean")
 
 
+def q_pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents augmented with deterministic
+    synthetic PII (the raw corpus has none, which would gate nothing):
+    each doc gains an email, an IPv4 and a phone number derived from
+    its doc_id; the scrub must redact all three (byte-identical
+    clean_text vs the oracle's RE2 twin) and count them."""
+    from oblate_spark.operators.text import pii_scrub
+
+    d = _read(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call +1 555 010 "),
+            (1000 + F.col("doc_id") % 9000).cast("string"),
+        ).alias("text"),
+    )
+    out = pii_scrub(aug, id_col="doc_id", text_col="text")
+    return out.select(
+        "doc_id", "clean_text",
+        F.col("n_email").cast("bigint").alias("n_email"),
+        F.col("n_ipv4").cast("bigint").alias("n_ipv4"),
+        F.col("n_phone").cast("bigint").alias("n_phone"),
+    )
+
+
+def q_tfidf_top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document; scores rounded to 6 decimals
+    BEFORE ranking so the (score desc, term asc) order is reproducible
+    across engines."""
+    from oblate_spark.operators.text import tfidf_top_terms
+
+    d = _read(spark, sf_dir, "documents")
+    out = tfidf_top_terms(d, id_col="doc_id", text_col="text", k=3)
+    return out.select(
+        "doc_id", "term", "score", F.col("rank").cast("int").alias("rank")
+    )
+
+
 def q_grouped_tdigest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-KEY t-digest quantiles (salted two-phase — the aggregate
     where explicit salting genuinely rescues skew, since an
@@ -662,6 +704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch, oracle-gated via tolerance booleans vs exact quantiles
         "tdigest_quantiles": q_tdigest_quantiles,
         "grouped_tdigest_events": q_grouped_tdigest_events,
+        "pii_scrub_documents": q_pii_scrub_documents,
+        "tfidf_top_terms_documents": q_tfidf_top_terms_documents,
     }
 
 
@@ -933,6 +977,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, q AS quantile, true AS within_bounds
             FROM (SELECT DISTINCT event_type FROM events),
                  (SELECT unnest([0.25, 0.5, 0.75]::DOUBLE[]) AS q)
+        """,
+        "pii_scrub_documents": r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' reach user' || doc_id ||
+                       '@mail.example from 10.0.' || (doc_id % 256) ||
+                       '.7 call +1 555 010 ' || (1000 + doc_id % 9000) AS text
+                FROM documents)
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                       '\b(\d{1,3}\.){3}\d{1,3}\b', '[IPV4]', 'g'),
+                       '\+?\d[\d ()-]{7,}\d', '[PHONE]', 'g') AS clean_text,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+                   len(regexp_extract_all(text,
+                       '\b(\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS n_ipv4,
+                   len(regexp_extract_all(text,
+                       '\+?\d[\d ()-]{7,}\d'))::BIGINT AS n_phone
+            FROM aug
+        """,
+        "tfidf_top_terms_documents": f"""
+            WITH toks AS (SELECT doc_id, unnest({_TOKENS}) AS term FROM documents),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+            dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM documents),
+            scored AS (SELECT doc_id, tf.term AS term,
+                              round(tf * ln(n.n / df), 6) AS score
+                       FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n),
+            ranked AS (SELECT doc_id, term, score,
+                              row_number() OVER (PARTITION BY doc_id
+                                                 ORDER BY score DESC, term) AS rank
+                       FROM scored)
+            SELECT doc_id, term, score, rank::INT AS rank
+            FROM ranked WHERE rank <= 3
         """,
         "categorical_psi_events": f"""
             WITH e AS (SELECT event_type, count(*)::DOUBLE AS c FROM events

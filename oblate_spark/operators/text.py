@@ -19,6 +19,9 @@ __all__ = [
     "language_id",
     "quality_score",
     "fingerprint",
+    "PII_PATTERNS",
+    "pii_scrub",
+    "tfidf_top_terms",
 ]
 
 #: tiny per-language function-word lists — enough signal for the n-gram
@@ -144,4 +147,75 @@ def fingerprint(
     bottom = ranked.groupBy(id_col).agg(F.array_sort(F.collect_list("sh")).alias("bk"))
     return bottom.select(
         F.col(id_col), F.md5(F.array_join(F.col("bk"), ",")).alias("fingerprint")
+    )
+
+
+#: PII patterns, deliberately RE2-safe (no lookarounds, no backrefs) so
+#: a DuckDB oracle applies the IDENTICAL regexes: emails, IPv4s,
+#: international-ish phone numbers. Order matters and is fixed —
+#: emails first (their local parts contain digits a later pass must not
+#: see), then IPs (dotted digits a phone pass could chew on), then
+#: phones.
+PII_PATTERNS: list = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b"),
+    ("phone", r"\+?\d[\d ()-]{7,}\d"),
+]
+
+
+def pii_scrub(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    """Redact PII from a text column: emails, IPv4 addresses, phone-like
+    numbers → ``[EMAIL]``/``[IPV4]``/``[PHONE]`` placeholders, with
+    per-document match counts.
+
+    Output: (id, clean_text, n_email, n_ipv4, n_phone). Pure Column
+    expressions (regexp_count + chained regexp_replace) — one scan, no
+    shuffle, whole-stage codegen; the patterns are RE2-safe so a SQL
+    oracle reproduces the redaction byte-for-byte. At 100 TB this is a
+    map-only pass that pushes straight down onto the parquet scan."""
+    text = F.col(text_col)
+    counts = [
+        F.regexp_count(text, F.lit(pat)).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS
+    ]
+    clean = text
+    for name, pat in PII_PATTERNS:  # fixed order, see PII_PATTERNS
+        clean = F.regexp_replace(clean, pat, f"[{name.upper()}]")
+    return df.select(F.col(id_col), clean.alias("clean_text"), *counts)
+
+
+def tfidf_top_terms(
+    df: DataFrame, *, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k TF-IDF terms per document:
+    (id, term, score, rank) with score = tf * ln(N / df) rounded to 6
+    decimals BEFORE ranking (ties then break by term ascending), so the
+    ranking is reproducible bit-for-bit across engines.
+
+    Plan shape: tokenize+explode (map-side), one groupBy(doc, term) for
+    tf, one groupBy(term) for document frequency — broadcast back onto
+    tf (the vocabulary ≪ corpus) — and a per-doc top-k window. N (the
+    corpus document count) is one bounded scalar job. At 100 TB the df
+    table is the only global state and it is vocabulary-sized."""
+    n_docs = df.select(id_col).distinct().count()  # bounded: one scalar
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens_expr(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("doc").alias(id_col), "term", "score", "rank")
     )

@@ -373,3 +373,48 @@ def test_grouped_tdigest_quantiles_salted_and_not(spark):
         results[label] = got
     for key in results["plain"]:
         assert abs(results["plain"][key] - results["salted"][key]) <= 2.0, key
+
+
+def test_pii_scrub(spark):
+    from oblate_spark.operators.text import pii_scrub
+
+    rows = [
+        (1, "mail a.smith+x@corp.example.org now"),
+        (2, "server at 192.168.0.17 and 10.0.0.1, call +44 20 7946 0958"),
+        (3, "clean text, no pii here 1 2 3"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_scrub(df, id_col="doc_id", text_col="text").collect()}
+    assert got[1]["clean_text"] == "mail [EMAIL] now"
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_phone"]) == (1, 0, 0)
+    assert got[2]["clean_text"] == "server at [IPV4] and [IPV4], call [PHONE]"
+    assert (got[2]["n_email"], got[2]["n_ipv4"], got[2]["n_phone"]) == (0, 2, 1)
+    assert got[3]["clean_text"] == rows[2][1]
+    assert got[4]["clean_text"] is None
+
+
+def test_tfidf_top_terms(spark):
+    """A term unique to one doc must outrank corpus-wide terms there;
+    ties (same tf, same df) break by term ascending."""
+    from oblate_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common zebra"),
+            (2, "common apple"),
+            (3, "common banana"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, id_col="doc_id", text_col="text", k=2)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["score"]))
+    top1 = {d: sorted(v)[0][1] for d, v in by_doc.items()}
+    assert top1 == {1: "zebra", 2: "apple", 3: "banana"}
+    # 'common' appears in every doc -> idf = ln(1) = 0
+    for d, v in by_doc.items():
+        for rank, term, score in v:
+            if term == "common":
+                assert score == 0.0
