@@ -133,7 +133,13 @@ class SnapshotTable:
         self._publish_manifest(manifest)  # publish
         return new_id
 
-    def append(self, df: DataFrame, *, properties: Optional[dict] = None) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        *,
+        properties: Optional[dict] = None,
+        allow_new_columns: bool = False,
+    ) -> int:
         """Commit ``df`` as a DELTA snapshot: only the new rows are
         written; the snapshot's logical content is parent content + new
         rows (Iceberg append semantics — new data files plus a manifest
@@ -147,7 +153,15 @@ class SnapshotTable:
         types): a multi-path parquet read resolves columns by whichever
         file it samples first, so a mismatched delta would silently
         drop or null columns for a whole snapshot range — Iceberg
-        rejects such a commit, and so does this."""
+        rejects such a commit, and so does this.
+
+        ``allow_new_columns=True`` permits ADDITIVE schema evolution
+        (Iceberg add-column parity): the batch may carry extra columns
+        on top of the full current schema; the snapshot records the
+        widened schema and reads merge the chain's footers, surfacing
+        NULL for the new columns on pre-evolution rows. Dropping or
+        retyping columns is always rejected — those need a rewrite
+        commit, exactly as in Iceberg."""
         manifest = self._read_manifest()
         if manifest["current"] is None:
             return self.write(df, operation="append", properties=properties)
@@ -161,10 +175,19 @@ class SnapshotTable:
                 f.name: f.dataType.simpleString() for f in self.read().schema.fields
             }
         batch = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)
-        if current != batch:
+        missing = {k: v for k, v in current.items() if k not in batch}
+        retyped = {
+            k: (current[k], batch[k]) for k in current if k in batch and current[k] != batch[k]
+        }
+        added = {k: v for k, v in batch.items() if k not in current}
+        if missing or retyped or (added and not allow_new_columns):
             raise ValueError(
                 "append schema mismatch vs table "
-                f"(table: {sorted(current.items())}, batch: {sorted(batch.items())})"
+                f"(table: {sorted(current.items())}, batch: {sorted(batch.items())}"
+                + (f", added: {sorted(added)} — pass allow_new_columns=True "
+                   "for additive evolution" if added and not missing and not retyped
+                   else "")
+                + ")"
             )
         return self.write(df, operation="append", properties=properties, delta=True)
 
@@ -172,8 +195,11 @@ class SnapshotTable:
         """Parquet dirs making up snapshot ``sid``'s logical content:
         walk parent pointers while the snapshot is a delta, stopping at
         (and including) the first full snapshot."""
+        return [self._snap_dir(s) for s in self._chain_sids(m, sid)]
+
+    def _chain_sids(self, m: dict, sid: int) -> list[int]:
         by_id = {s["id"]: s for s in m["snapshots"]}
-        dirs, cur = [], sid
+        sids, cur = [], sid
         while cur is not None:
             s = by_id.get(cur)
             if s is None:
@@ -181,11 +207,30 @@ class SnapshotTable:
                     f"snapshot {sid} references expired ancestor {cur}; "
                     "chain is broken"
                 )
-            dirs.append(self._snap_dir(cur))
+            sids.append(cur)
             if not s.get("delta"):
                 break
             cur = s["parent"]
-        return dirs
+        return sids
+
+    def _scan(self, m: dict, sids: list[int]) -> DataFrame:
+        """Multi-path scan over the snapshots' dirs. When the chain
+        spans an additive schema evolution (recorded per-snapshot
+        schemas differ, or a legacy snapshot has none on a multi-dir
+        chain), footers are schema-merged so pre-evolution rows surface
+        NULL for added columns instead of the whole range silently
+        resolving to whichever file the reader samples first."""
+        by_id = {s["id"]: s for s in m["snapshots"]}
+        schemas = [by_id[s].get("schema") for s in sids]
+        uniform = (
+            len(sids) == 1
+            or (all(sc is not None for sc in schemas)
+                and all(sc == schemas[0] for sc in schemas))
+        )
+        reader = self.spark.read
+        if not uniform:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*[self._snap_dir(s) for s in sids])
 
     def read(self, snapshot_id: Optional[int] = None) -> DataFrame:
         """Read the current (or a historical) snapshot — time travel.
@@ -198,7 +243,7 @@ class SnapshotTable:
         known = {s["id"] for s in m["snapshots"]}
         if sid not in known:
             raise ValueError(f"unknown snapshot id {sid} (known: {sorted(known)})")
-        return self.spark.read.parquet(*self._chain_dirs(m, sid))
+        return self._scan(m, self._chain_sids(m, sid))
 
     def read_incremental(
         self, *, from_snapshot: int, to_snapshot: Optional[int] = None
@@ -216,7 +261,7 @@ class SnapshotTable:
         for sid in (from_snapshot, to_sid):
             if sid not in by_id:
                 raise ValueError(f"unknown snapshot id {sid}")
-        dirs, cur = [], to_sid
+        sids, cur = [], to_sid
         while cur != from_snapshot:
             s = by_id.get(cur)
             if s is None or not s.get("delta"):
@@ -224,12 +269,12 @@ class SnapshotTable:
                     f"no pure append chain from {from_snapshot} to {to_sid}: "
                     f"snapshot {cur} is a full rewrite or expired"
                 )
-            dirs.append(self._snap_dir(cur))
+            sids.append(cur)
             cur = s["parent"]
-        if not dirs:
+        if not sids:
             df = self.read(to_sid)
             return df.limit(0)
-        return self.spark.read.parquet(*dirs)
+        return self._scan(m, sids)
 
     def rollback(self, snapshot_id: int) -> None:
         """Point the table back at an earlier snapshot (data retained)."""

@@ -584,3 +584,41 @@ def test_incremental_uniqueness_broadcast_guard(spark):
         assert "Broadcast" not in plan(fb)
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_append_additive_schema_evolution(spark, tmp_path):
+    """Iceberg add-column parity: an evolved delta widens the table
+    schema; pre-evolution rows read NULL for the added column (merged
+    footers); dropping or retyping columns stays rejected."""
+    t = SnapshotTable(spark, str(tmp_path / "evo"))
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string"))
+
+    evolved = spark.createDataFrame(
+        [(3, "c", 0.9)], "id long, name string, quality double"
+    )
+    with pytest.raises(ValueError, match="allow_new_columns"):
+        t.append(evolved)
+    sid = t.append(evolved, allow_new_columns=True)
+
+    full = t.read()
+    assert set(full.columns) == {"id", "name", "quality"}
+    got = {r["id"]: r["quality"] for r in full.collect()}
+    assert got == {1: None, 2: None, 3: 0.9}
+
+    # incremental read of the evolved range carries the new column
+    inc = t.read_incremental(from_snapshot=sid - 1, to_snapshot=sid)
+    assert [r["quality"] for r in inc.collect()] == [0.9]
+
+    # the next append must now match the WIDENED schema
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(spark.createDataFrame([(4, "d")], "id long, name string"))
+    t.append(spark.createDataFrame([(4, "d", 0.5)],
+                                   "id long, name string, quality double"))
+    assert t.read().count() == 4
+
+    # dropping/retyping is never evolution
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(
+            spark.createDataFrame([(5, 1, 0.1)], "id long, name long, quality double"),
+            allow_new_columns=True,
+        )
