@@ -253,3 +253,39 @@ def test_validate_lineitem_plan_is_single_stage(spark):
     assert sum(bool(re.match(r"\(\d+\) Generate", n)) for n in nodes) == 1, nodes
     codegen_ids = set(re.findall(r"codegen id : (\d+)", plan))
     assert codegen_ids == {"1"}, (codegen_ids, nodes)
+
+
+def test_pii_scrub_is_single_codegen_map_pass(spark, images_path):
+    """PII redaction must stay a map-only pass: zero exchanges, zero
+    Python stages, one codegen span — at 100 TB this runs at scan
+    speed or it is wrong."""
+    import re
+
+    from oblate_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.co")], "doc_id long, text string"
+    )
+    # plan over a real parquet scan, not a LocalRelation
+    src = spark.read.parquet(images_path).select(
+        F.col("image_id").alias("doc_id"), F.col("caption").alias("text")
+    )
+    plan = plan_of(pii_scrub(src, id_col="doc_id", text_col="text"))
+    assert plan.count("Exchange") == 0, plan[:2000]
+    assert "EvalPython" not in plan
+    assert set(re.findall(r"codegen id : (\d+)", plan)) == {"1"}
+
+
+def test_tfidf_broadcasts_idf_and_partitions_window(spark, images_path):
+    """The document-frequency side must broadcast (vocabulary ≪ corpus)
+    and the top-k window must partition by doc — a global window would
+    funnel the whole corpus through one task."""
+    from oblate_spark.operators.text import tfidf_top_terms
+
+    src = spark.read.parquet(images_path).select(
+        F.col("image_id").alias("doc_id"), F.col("caption").alias("text")
+    )
+    plan = plan_of(tfidf_top_terms(src, id_col="doc_id", text_col="text", k=2))
+    assert "EvalPython" not in plan
+    assert "BroadcastExchange" in plan, plan[:2000]
+    assert "Window" in plan and "hashpartitioning(doc" in plan, plan[:3000]
