@@ -621,11 +621,13 @@ def q_grouped_tdigest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, array(0.25, 0.5, 0.75))").alias("exact"),
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
+        F.count("value").alias("n"),
     )
     ex = exact.select(
         "key",
         "lo",
         "hi",
+        "n",
         F.explode(
             F.arrays_zip(
                 F.array(*[F.lit(float(p)) for p in probs]).alias("q"),
@@ -633,11 +635,16 @@ def q_grouped_tdigest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("z"),
     ).select(
-        "key", "lo", "hi",
+        "key", "lo", "hi", "n",
         F.col("z.q").alias("quantile"),
         F.col("z.v").alias("exact_v"),
     )
-    eps = F.greatest(0.01 * (F.col("hi") - F.col("lo")), F.lit(1e-9))
+    # sketch tolerance: 1% of the group's range for real groups, but a
+    # tiny group's midpoint-interpolated quantile can sit a whole
+    # inter-sample gap from the exact order statistic — (hi-lo)/n
+    # covers that regime and vanishes as n grows
+    span = F.col("hi") - F.col("lo")
+    eps = F.greatest(0.01 * span, span / F.col("n"), F.lit(1e-9))
     return sk.join(ex, ["key", "quantile"]).select(
         F.col("key").alias("event_type"),
         "quantile",
@@ -983,20 +990,25 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        text || ' reach user' || doc_id ||
                        '@mail.example from 10.0.' || (doc_id % 256) ||
-                       '.7 call +1 555 010 ' || (1000 + doc_id % 9000) AS text
-                FROM documents)
+                       '.7 call +1 555 010 ' || (1000 + doc_id % 9000) AS t0
+                FROM documents),
+            -- counts follow the redaction chain: each pattern counted
+            -- on the text AFTER the earlier patterns' redactions
+            s1 AS (SELECT doc_id, t0, regexp_replace(t0,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g') AS t1 FROM aug),
+            s2 AS (SELECT doc_id, t0, t1, regexp_replace(t1,
+                       '\b(\d{1,3}\.){3}\d{1,3}\b', '[IPV4]', 'g') AS t2 FROM s1)
             SELECT doc_id,
-                   regexp_replace(regexp_replace(regexp_replace(text,
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-                       '\b(\d{1,3}\.){3}\d{1,3}\b', '[IPV4]', 'g'),
-                       '\+?\d[\d ()-]{7,}\d', '[PHONE]', 'g') AS clean_text,
-                   len(regexp_extract_all(text,
+                   regexp_replace(t2, '\+?\d[\d ()-]{7,}\d', '[PHONE]', 'g')
+                       AS clean_text,
+                   len(regexp_extract_all(t0,
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
-                   len(regexp_extract_all(text,
+                   len(regexp_extract_all(t1,
                        '\b(\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS n_ipv4,
-                   len(regexp_extract_all(text,
+                   len(regexp_extract_all(t2,
                        '\+?\d[\d ()-]{7,}\d'))::BIGINT AS n_phone
-            FROM aug
+            FROM s2
         """,
         "tfidf_top_terms_documents": f"""
             WITH toks AS (SELECT doc_id, unnest({_TOKENS}) AS term FROM documents),

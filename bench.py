@@ -631,9 +631,10 @@ def _write_baseline_md(result: dict) -> None:
         "minutes, so the sweep runs "
         f"{K_SWEEPS} interleaved rounds of min-of-{TIMED_RUNS}",
         "steady-state samples per point, fresh JVM per point with",
-        "worker-spawn/JIT warm-up excluded; the headline is the best",
-        "round, with median and pooled estimates alongside; all samples",
-        "are in the JSON's scaling.sweeps).",
+        "worker-spawn/JIT warm-up excluded; the HEADLINE is the pooled",
+        "per-point-min across all rounds — per-round raw efficiencies",
+        "and their median are reported alongside; all samples are in",
+        "the JSON's scaling.sweeps).",
         "",
         "## Two-cluster-size criterion (north rule: >=0.8, N -> 4N)",
         "",

@@ -89,13 +89,25 @@ class ResumableRun:
 
         Resume safety: a completed group whose recorded file list no
         longer matches the source listing aborts the run — silent
-        re-grouping would attribute old outputs to different inputs."""
+        re-grouping would attribute old outputs to different inputs.
+        The comparison is scheme-tolerant (``file:/data/x.parquet`` ==
+        ``/data/x.parquet``): manifests written when the lister
+        returned bare local paths stay resumable now that it returns
+        qualified Hadoop URIs."""
+
+        def norm(f: str) -> str:
+            if f.startswith("file:"):
+                f = f[5:]
+                while f.startswith("//"):
+                    f = f[1:]
+            return f
+
         done = self.completed_groups()
         manifest = self.manifest()
         for k, files in enumerate(self.groups):
             if k in done:
                 rec = manifest["groups"].get(str(k), {})
-                if rec.get("files") != files:
+                if [norm(f) for f in rec.get("files", [])] != [norm(f) for f in files]:
                     raise RuntimeError(
                         f"group {k} file set changed since checkpoint "
                         f"(source listing drifted); refusing to resume"
@@ -252,16 +264,6 @@ class IncrementalValidator:
                 batch = self.table.read(current)
                 rebase = True
                 last = None  # uniqueness: treat as first run below
-                # the full revalidation about to be written to
-                # upto-<current> SUPERSEDES every committed upto-* dir:
-                # keeping them would double-count every previously
-                # validated row's violations for any reader aggregating
-                # upto-* (the class guarantee). Delete them all; the
-                # manifest entry keeps the rebase flag.
-                import shutil
-
-                for d in glob.glob(os.path.join(self.run_dir, "upto-*")):
-                    shutil.rmtree(d, ignore_errors=True)
         if self.job is not None:
             raw_out = self.job(batch)
             violations = raw_out
@@ -295,6 +297,21 @@ class IncrementalValidator:
             )
         out_dir = os.path.join(self.run_dir, f"upto-{current:05d}")
         violations.write.mode("overwrite").parquet(out_dir)
+        if rebase:
+            # the full revalidation just written SUPERSEDES every
+            # committed upto-* dir: keeping them would double-count
+            # every previously validated row's violations for any
+            # reader aggregating upto-* (the class guarantee). Purge
+            # AFTER the replacement is durably on disk — purging first
+            # meant a failed rebase write destroyed the whole
+            # validation history. A crash before the watermark commit
+            # below re-runs the rebase (the pre-read cleanup deletes
+            # the uncommitted upto-<current>), so the purge converges.
+            import shutil
+
+            for d in glob.glob(os.path.join(self.run_dir, "upto-*")):
+                if os.path.abspath(d) != os.path.abspath(out_dir):
+                    shutil.rmtree(d, ignore_errors=True)
         written = self.table.spark.read.parquet(out_dir)
         entry = {
             "from": last,

@@ -130,8 +130,13 @@ def wants_context(fn: Callable) -> bool:
     if second.name in _CTX_PARAM_NAMES:
         return True
     key = getattr(fn, "__code__", None) or fn
-    if key not in _warned_ambiguous:
-        _warned_ambiguous.add(key)
+    try:
+        seen = key in _warned_ambiguous
+        if not seen:
+            _warned_ambiguous.add(key)
+    except TypeError:  # unhashable callable instance: warn every time
+        seen = False
+    if not seen:
         warnings.warn(
             f"validator {getattr(fn, '__qualname__', fn)!r} has a defaulted "
             f"second positional parameter {second.name!r}: it is treated as "

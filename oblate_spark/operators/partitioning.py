@@ -16,22 +16,65 @@ from pyspark.sql import DataFrame
 __all__ = ["ensure_fanout_parallelism"]
 
 
-def ensure_fanout_parallelism(df: DataFrame) -> DataFrame:
-    """Repartition ``df`` to the session's default parallelism when it
-    is a narrow file scan (fewer input files than cores).
-
-    The probe is ``df.inputFiles()`` — plan metadata only, so no RDD
-    lineage is materialized (``df.rdd.getNumPartitions()`` builds the
-    whole RDD conversion just to read a count). A frame that is not a
-    plain scan reports no input files; those frames sit downstream of a
-    shuffle or local relation and already carry the session parallelism,
-    so they are left untouched.
-    """
-    par = df.sparkSession.sparkContext.defaultParallelism
+def _bytes_conf(spark, key: str, default: int) -> int:
+    """A size conf as bytes (Spark reports '134217728b' / '128MB'
+    style strings depending on how it was set)."""
     try:
-        n_files = len(df.inputFiles())
+        raw = str(spark.conf.get(key)).strip().lower()
+    except Exception:
+        return default
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                      ("b", 1)):
+        if raw.endswith(suffix):
+            raw = raw[: -len(suffix)]
+            mult = m
+            break
+    try:
+        return int(float(raw) * mult)
+    except ValueError:
+        return default
+
+
+def ensure_fanout_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition ``df`` to the session's default parallelism when its
+    file scan will produce fewer partitions than cores.
+
+    The probe estimates the scan's partition count with Spark's own
+    file-packing arithmetic — ceil((total_bytes + n_files * openCost) /
+    maxPartitionBytes) — over the scan's ``inputFiles()`` sizes (plan
+    metadata + one FileSystem status call per file; no RDD lineage is
+    materialized). A raw file COUNT is the wrong probe both ways: many
+    tiny files pack into few partitions (fan-out still serialized), and
+    few huge splittable files already scan wide (repartition would be a
+    pointless full shuffle). Frames that are not plain scans report no
+    input files; those sit downstream of a shuffle or local relation
+    and already carry the session parallelism, so they are left
+    untouched.
+    """
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
     except Exception:  # non-scan plans on some versions raise instead
         return df
-    if 0 < n_files < par:
+    if not files:
+        return df
+    max_part = _bytes_conf(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+    open_cost = _bytes_conf(spark, "spark.sql.files.openCostInBytes", 4 << 20)
+    try:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        total = 0
+        for f in files:
+            jpath = jvm.org.apache.hadoop.fs.Path(f)
+            fs = jpath.getFileSystem(hconf)
+            total += int(fs.getFileStatus(jpath).getLen())
+    except Exception:
+        # sizes unavailable: fall back to the conservative count probe
+        return df.repartition(par) if len(files) < par else df
+    est_partitions = -(-(total + len(files) * open_cost) // max_part)
+    if est_partitions < par:
         return df.repartition(par)
     return df

@@ -172,16 +172,20 @@ def pii_scrub(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
     expressions (regexp_count + chained regexp_replace) — one scan, no
     shuffle, whole-stage codegen; the patterns are RE2-safe so a SQL
     oracle reproduces the redaction byte-for-byte. At 100 TB this is a
-    map-only pass that pushes straight down onto the parquet scan."""
-    text = F.col(text_col)
-    counts = [
-        F.regexp_count(text, F.lit(pat)).alias(f"n_{name}")
-        for name, pat in PII_PATTERNS
-    ]
-    clean = text
+    map-only pass that pushes straight down onto the parquet scan.
+
+    Each pattern's count is taken on the text AFTER the earlier
+    patterns' redactions — i.e. counts equal the number of
+    replacements actually performed. Counting every pattern on the raw
+    text would report phantom redactions (an email's digit-heavy local
+    part also matches the phone pattern, but it is gone by the time
+    the phone pass runs)."""
+    counts = []
+    stage = F.col(text_col)
     for name, pat in PII_PATTERNS:  # fixed order, see PII_PATTERNS
-        clean = F.regexp_replace(clean, pat, f"[{name.upper()}]")
-    return df.select(F.col(id_col), clean.alias("clean_text"), *counts)
+        counts.append(F.regexp_count(stage, F.lit(pat)).alias(f"n_{name}"))
+        stage = F.regexp_replace(stage, pat, f"[{name.upper()}]")
+    return df.select(F.col(id_col), stage.alias("clean_text"), *counts)
 
 
 def tfidf_top_terms(

@@ -383,6 +383,7 @@ def test_pii_scrub(spark):
         (2, "server at 192.168.0.17 and 10.0.0.1, call +44 20 7946 0958"),
         (3, "clean text, no pii here 1 2 3"),
         (4, None),
+        (5, "contact 123456789@x.co"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r for r in pii_scrub(df, id_col="doc_id", text_col="text").collect()}
@@ -392,6 +393,10 @@ def test_pii_scrub(spark):
     assert (got[2]["n_email"], got[2]["n_ipv4"], got[2]["n_phone"]) == (0, 2, 1)
     assert got[3]["clean_text"] == rows[2][1]
     assert got[4]["clean_text"] is None
+    # counts follow the redaction chain: the digit-heavy local part is
+    # gone before the phone pass, so no phantom phone redaction
+    assert got[5]["clean_text"] == "contact [EMAIL]"
+    assert (got[5]["n_email"], got[5]["n_ipv4"], got[5]["n_phone"]) == (1, 0, 0)
 
 
 def test_tfidf_top_terms(spark):

@@ -263,9 +263,6 @@ def test_pii_scrub_is_single_codegen_map_pass(spark, images_path):
 
     from oblate_spark.operators.text import pii_scrub
 
-    df = spark.createDataFrame(
-        [(1, "mail a@b.co")], "doc_id long, text string"
-    )
     # plan over a real parquet scan, not a LocalRelation
     src = spark.read.parquet(images_path).select(
         F.col("image_id").alias("doc_id"), F.col("caption").alias("text")
