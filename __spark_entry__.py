@@ -561,6 +561,41 @@ def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "quantile double, within_bounds boolean")
 
 
+def q_fd_violations_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-column functional-dependency check: order keys whose line
+    items span more than one return flag (the FD l_orderkey ->
+    l_returnflag is false in TPC-H — plenty of violations).
+    One groupBy with a single exact distinct; NULL counts as a value."""
+    from oblate_spark.operators.stats import functional_dependency_violations
+
+    li = _read(spark, sf_dir, "lineitem")
+    out = functional_dependency_violations(li, "l_orderkey", "l_returnflag")
+    return out.select(
+        "l_orderkey",
+        F.col("n_rhs_values").cast("bigint").alias("n_rhs_values"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+    )
+
+
+def q_null_implication_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-column completeness contract over documents with
+    deterministic synthetic nulls (the raw corpus has none): lang is
+    nulled for every 7th doc, source for every 14th; a doc with a null
+    lang but non-null source violates 'if lang IS NULL then source
+    must be NULL'."""
+    from oblate_spark.operators.stats import null_implication_violations
+
+    d = _read(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(F.col("lang")).alias("lang"),
+        F.when(F.col("doc_id") % 14 == 0, F.lit(None)).otherwise(F.col("source")).alias("source"),
+    )
+    return null_implication_violations(
+        aug, when_null="lang", then_null="source", row_id="doc_id"
+    )
+
+
 def q_pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over documents augmented with deterministic
     synthetic PII (the raw corpus has none, which would gate nothing):
@@ -713,6 +748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_tdigest_events": q_grouped_tdigest_events,
         "pii_scrub_documents": q_pii_scrub_documents,
         "tfidf_top_terms_documents": q_tfidf_top_terms_documents,
+        "fd_violations_lineitem": q_fd_violations_lineitem,
+        "null_implication_documents": q_null_implication_documents,
     }
 
 
@@ -984,6 +1021,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, q AS quantile, true AS within_bounds
             FROM (SELECT DISTINCT event_type FROM events),
                  (SELECT unnest([0.25, 0.5, 0.75]::DOUBLE[]) AS q)
+        """,
+        "fd_violations_lineitem": """
+            SELECT l_orderkey,
+                   (count(DISTINCT l_returnflag)
+                    + max(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END))::BIGINT
+                       AS n_rhs_values,
+                   count(*)::BIGINT AS n_rows
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING (count(DISTINCT l_returnflag)
+                    + max(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)) > 1
+        """,
+        "null_implication_documents": """
+            SELECT doc_id::VARCHAR AS row_id,
+                   'source' AS field_key,
+                   'implication.violated' AS error_code,
+                   'Column (source) must be null when (lang) is null' AS message,
+                   source AS value_repr
+            FROM documents
+            WHERE doc_id % 7 = 0 AND doc_id % 14 <> 0
         """,
         "pii_scrub_documents": r"""
             WITH aug AS (

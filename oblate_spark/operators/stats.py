@@ -33,6 +33,8 @@ __all__ = [
     "multi_key_uniqueness_violations",
     "incremental_uniqueness_violations",
     "referential_violations",
+    "functional_dependency_violations",
+    "null_implication_violations",
 ]
 
 
@@ -325,3 +327,61 @@ def incremental_uniqueness_violations(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def functional_dependency_violations(
+    df: DataFrame,
+    lhs: Sequence[str] | str,
+    rhs: str,
+) -> DataFrame:
+    """Violations of the functional dependency ``lhs -> rhs``: LHS key
+    values that map to MORE than one distinct RHS value —
+    (lhs..., n_rhs_values, n_rows) ordered nowhere (caller sorts).
+
+    The data-quality form of "column X determines column Y" (e.g.
+    image_id -> phash, order key -> customer key). One groupBy(lhs)
+    with a single exact countDistinct — Spark plans the distinct as a
+    partial dedup on (lhs, rhs) before the final count, so a hot LHS
+    never funnels raw rows into one reducer. NULL RHS values count as
+    one distinct value (SQL countDistinct drops them; here NULL is a
+    value a determinant maps to — mixed NULL/non-NULL IS a violation),
+    implemented as an is-null flag counted alongside.
+    """
+    if isinstance(lhs, str):
+        lhs = [lhs]
+    n_distinct = (
+        F.countDistinct(F.col(rhs))
+        + F.max(F.when(F.col(rhs).isNull(), 1).otherwise(0))
+    ).alias("n_rhs_values")
+    return (
+        df.groupBy(*[F.col(c) for c in lhs])
+        .agg(n_distinct, F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rhs_values") > 1)
+    )
+
+
+def null_implication_violations(
+    df: DataFrame,
+    *,
+    when_null: str,
+    then_null: str,
+    row_id: str,
+) -> DataFrame:
+    """Rows violating "if ``when_null`` IS NULL then ``then_null`` must
+    be NULL" — the cross-column completeness contract (e.g. a missing
+    caption must not carry a caption_lang). Emits the engine's
+    violation contract; a single codegen'd filter, no shuffle."""
+    return (
+        df.filter(F.col(when_null).isNull() & F.col(then_null).isNotNull())
+        .select(
+            F.col(row_id).cast("string").alias("row_id"),
+            F.lit(then_null).alias("field_key"),
+            F.lit("implication.violated").alias("error_code"),
+            F.concat(
+                F.lit("Column ("), F.lit(then_null),
+                F.lit(") must be null when ("), F.lit(when_null),
+                F.lit(") is null"),
+            ).alias("message"),
+            F.col(then_null).cast("string").alias("value_repr"),
+        )
+    )

@@ -423,3 +423,47 @@ def test_tfidf_top_terms(spark):
         for rank, term, score in v:
             if term == "common":
                 assert score == 0.0
+
+
+def test_functional_dependency_and_null_implication(spark):
+    from pyspark.sql import functions as F
+
+    from oblate_spark.operators.stats import (
+        functional_dependency_violations,
+        null_implication_violations,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", "x"),    # key 1 -> {x}            ok
+            (1, "A", "x"),
+            (2, "B", "x"),    # key 2 -> {x, y}         violation
+            (2, "B", "y"),
+            (3, "C", None),   # key 3 -> {NULL}         ok (one value)
+            (4, "D", "z"),    # key 4 -> {z, NULL}      violation
+            (4, "D", None),
+        ],
+        "k long, a string, v string",
+    )
+    out = {r["k"]: (r["n_rhs_values"], r["n_rows"])
+           for r in functional_dependency_violations(df, "k", "v").collect()}
+    assert out == {2: (2, 2), 4: (2, 2)}
+    # composite determinant
+    comp = functional_dependency_violations(df, ["k", "a"], "v").collect()
+    assert {(r["k"], r["a"]) for r in comp} == {(2, "B"), (4, "D")}
+
+    imp = spark.createDataFrame(
+        [
+            (1, None, "s"),   # violation: when null, then non-null
+            (2, None, None),  # ok
+            (3, "en", "s"),   # ok
+            (4, "en", None),  # ok (implication is one-way)
+        ],
+        "id long, lang string, source string",
+    )
+    v = null_implication_violations(
+        imp, when_null="lang", then_null="source", row_id="id"
+    ).collect()
+    assert [(r["row_id"], r["error_code"], r["value_repr"]) for r in v] == [
+        ("1", "implication.violated", "s")
+    ]
