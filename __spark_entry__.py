@@ -626,13 +626,16 @@ def q_pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_tfidf_top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 TF-IDF terms per document; scores rounded to 6 decimals
-    BEFORE ranking so the (score desc, term asc) order is reproducible
-    across engines."""
+    """Top-3 TF-IDF terms per document, ``idf='rational'``: the score
+    tf*N/df is rounded half-up to 6 decimals in exact integer
+    arithmetic, so scores and the (score desc, term asc) ranking are
+    bit-identical in any IEEE engine — the default ln-based scoring
+    depends on libm agreeing to the last ulp, which made this oracle
+    gate potentially flaky on other corpora (round-4 advice)."""
     from oblate_spark.operators.text import tfidf_top_terms
 
     d = _read(spark, sf_dir, "documents")
-    out = tfidf_top_terms(d, id_col="doc_id", text_col="text", k=3)
+    out = tfidf_top_terms(d, id_col="doc_id", text_col="text", k=3, idf="rational")
     return out.select(
         "doc_id", "term", "score", F.col("rank").cast("int").alias("rank")
     )
@@ -1069,11 +1072,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tfidf_top_terms_documents": f"""
             WITH toks AS (SELECT doc_id, unnest({_TOKENS}) AS term FROM documents),
-            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
-            dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
-            n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM documents),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+            dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM documents),
+            -- idf='rational': exact integer half-up rounding of
+            -- tf*N*1e6/df, then one IEEE-exact /1e6 — bit-identical to
+            -- the Spark side (no libm ln in either engine)
             scored AS (SELECT doc_id, tf.term AS term,
-                              round(tf * ln(n.n / df), 6) AS score
+                              floor((tf * n.n * 2000000 + df) / (df * 2)) / 1e6
+                                  AS score
                        FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n),
             ranked AS (SELECT doc_id, term, score,
                               row_number() OVER (PARTITION BY doc_id

@@ -96,10 +96,15 @@ class ResumableRun:
         qualified Hadoop URIs."""
 
         def norm(f: str) -> str:
-            if f.startswith("file:"):
-                f = f[5:]
-                while f.startswith("//"):
-                    f = f[1:]
+            # proper URI parse, not prefix-stripping: 'file:/p',
+            # 'file:///p' and 'file://localhost/p' all name the same
+            # local path; a non-local authority (hdfs://nn1/...) is a
+            # different filesystem and must stay distinct
+            from urllib.parse import urlparse
+
+            u = urlparse(f)
+            if u.scheme == "file" and u.netloc in ("", "localhost"):
+                return u.path
             return f
 
         done = self.completed_groups()

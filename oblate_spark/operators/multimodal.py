@@ -218,11 +218,17 @@ def video_frame_sample(
     Compressed containers (mp4/webm) need demuxers absent from this
     sandbox: with ``allow_stub`` an undecodable payload falls back to
     ``n_frames`` deterministic hash-derived 8x8 pseudo-frames (so
-    downstream plumbing always has full coverage); with
-    ``allow_stub=False`` undecodable payloads are skipped. Every output
-    row carries ``is_stub`` — False for really-demuxed frames, True for
-    the fallback (mirroring audio_features), so fabricated frames can
-    never be mistaken for real ones downstream:
+    downstream plumbing always has full coverage; NULL payloads are
+    dropped — there is no byte content to derive a stub from). With
+    ``allow_stub=False`` an undecodable or NULL payload emits ONE
+    marker row ``(id, frame_index=-1, frame_bytes=NULL,
+    is_stub=false)`` — corrupt clips must never silently vanish from
+    the output the way the image/audio paths never drop malformed
+    payloads; filter ``frame_index >= 0`` for decoded frames only.
+    Every output row carries ``is_stub`` — False for really-demuxed
+    frames (and markers), True for the fallback (mirroring
+    audio_features), so fabricated frames can never be mistaken for
+    real ones downstream:
     (id, frame_index int, frame_bytes binary, is_stub boolean)."""
     import pandas as pd
 
@@ -245,6 +251,11 @@ def video_frame_sample(
             ids, idxs, frames, stubs = [], [], [], []
             for i, blob in zip(pdf[id_col], pdf[bytes_col]):
                 if blob is None:
+                    if not allow_stub:
+                        ids.append(i)
+                        idxs.append(-1)
+                        frames.append(None)
+                        stubs.append(False)
                     continue
                 data = bytes(blob)
                 try:
@@ -259,6 +270,11 @@ def video_frame_sample(
                     continue
                 except VideoDecodeError:
                     if not allow_stub:
+                        # marker row: the clip is undecodable, not absent
+                        ids.append(i)
+                        idxs.append(-1)
+                        frames.append(None)
+                        stubs.append(False)
                         continue
                 # fallback: deterministic pseudo-frames. Hash the
                 # payload ONCE; mix the frame index into the digest

@@ -41,17 +41,25 @@ def ensure_fanout_parallelism(df: DataFrame) -> DataFrame:
     """Repartition ``df`` to the session's default parallelism when its
     file scan will produce fewer partitions than cores.
 
-    The probe estimates the scan's partition count with Spark's own
-    file-packing arithmetic — ceil((total_bytes + n_files * openCost) /
-    maxPartitionBytes) — over the scan's ``inputFiles()`` sizes (plan
-    metadata + one FileSystem status call per file; no RDD lineage is
-    materialized). A raw file COUNT is the wrong probe both ways: many
-    tiny files pack into few partitions (fan-out still serialized), and
-    few huge splittable files already scan wide (repartition would be a
-    pointless full shuffle). Frames that are not plain scans report no
-    input files; those sit downstream of a shuffle or local relation
-    and already carry the session parallelism, so they are left
-    untouched.
+    The probe mirrors Spark's own file-packing arithmetic
+    (``FilePartition.maxSplitBytes``): with total = Σ(len + openCost),
+    ``maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    total / defaultParallelism))`` and the scan yields roughly
+    ``ceil(total / maxSplitBytes)`` partitions. Dividing by
+    maxPartitionBytes alone (the old probe) under-estimates: a single
+    200 MB splittable file already scans ~core-wide via the
+    bytesPerCore term, and repartitioning it again would be a redundant
+    full shuffle. A raw file COUNT is wrong both ways: many tiny files
+    pack into few partitions (fan-out still serialized), and few huge
+    splittable files already scan wide.
+
+    File sizes come from ONE ``listStatus`` per distinct parent
+    directory (a many-file table would otherwise pay O(n_files)
+    sequential driver RPCs on every fan-out call); stragglers the
+    listing misses fall back to per-file ``getFileStatus``. Frames that
+    are not plain scans report no input files; those sit downstream of
+    a shuffle or local relation and already carry the session
+    parallelism, so they are left untouched.
     """
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
@@ -66,15 +74,31 @@ def ensure_fanout_parallelism(df: DataFrame) -> DataFrame:
     try:
         jvm = spark._jvm
         hconf = spark._jsc.hadoopConfiguration()
-        total = 0
+        by_parent: dict = {}
         for f in files:
-            jpath = jvm.org.apache.hadoop.fs.Path(f)
-            fs = jpath.getFileSystem(hconf)
-            total += int(fs.getFileStatus(jpath).getLen())
+            parent, _, name = f.rpartition("/")
+            by_parent.setdefault(parent, {})[name] = f
+        total = 0
+        for parent, want in by_parent.items():
+            jparent = jvm.org.apache.hadoop.fs.Path(parent)
+            fs = jparent.getFileSystem(hconf)
+            for st in fs.listStatus(jparent):
+                name = st.getPath().getName()
+                if name in want:
+                    total += int(st.getLen())
+                    del want[name]
+            for leftover in want.values():  # listing raced a rename etc.
+                jpath = jvm.org.apache.hadoop.fs.Path(leftover)
+                total += int(
+                    jpath.getFileSystem(hconf).getFileStatus(jpath).getLen()
+                )
     except Exception:
         # sizes unavailable: fall back to the conservative count probe
         return df.repartition(par) if len(files) < par else df
-    est_partitions = -(-(total + len(files) * open_cost) // max_part)
+    padded = total + len(files) * open_cost
+    bytes_per_core = padded // max(par, 1)
+    max_split = min(max_part, max(open_cost, bytes_per_core))
+    est_partitions = -(-padded // max(max_split, 1))
     if est_partitions < par:
         return df.repartition(par)
     return df

@@ -285,21 +285,30 @@ def incremental_uniqueness_violations(
     batch, ``unique.exists`` against history.
 
     The broadcast shape assumes delta ≪ table. A backfill-sized batch
-    would exceed the driver/executor broadcast limit, so each key's
-    distinct count is checked first (one column-pruned count on the
-    BATCH — negligible next to its validation work): above
+    would exceed the driver/executor broadcast limit, so the batch's
+    per-key distinct counts gate the strategy: above
     ``max_broadcast_keys`` the probe falls back to a plain shuffle
     join and lets AQE pick the strategy, trading the map-side-only
-    table scan for not OOMing the driver.
+    table scan for not OOMing the driver. The gate itself is ONE
+    approx_count_distinct pass over all keys together (HLL partials,
+    no Expand, no shuffle of the batch) — an exact per-key
+    count()/distinct() here cost one full Spark job per key per append
+    and recomputed the uncached batch lineage each time. The ±5% HLL
+    error is absorbed by a 25% safety margin on the threshold; a
+    borderline batch at worst falls back to the (always-correct)
+    shuffle join.
     """
     parts = [
         multi_key_uniqueness_violations(
             batch.select(row_id, *keys), keys, row_id=row_id
         )
     ]
+    approx = batch.agg(
+        *[F.approx_count_distinct(k).alias(k) for k in keys]
+    ).collect()[0]  # bounded collect: one scalar per key, single job
     for k in keys:
         batch_keys = batch.select(k).where(F.col(k).isNotNull()).distinct()
-        small = batch_keys.count() <= max_broadcast_keys
+        small = int(approx[k]) <= int(max_broadcast_keys * 0.75)
         probe = F.broadcast(batch_keys) if small else batch_keys
         collided = (
             history.select(k)

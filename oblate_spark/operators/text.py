@@ -189,18 +189,47 @@ def pii_scrub(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
 
 
 def tfidf_top_terms(
-    df: DataFrame, *, id_col: str, text_col: str, k: int = 3
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    idf: str = "log",
+    max_broadcast_terms: int = 20_000_000,
 ) -> DataFrame:
-    """Top-k TF-IDF terms per document:
-    (id, term, score, rank) with score = tf * ln(N / df) rounded to 6
-    decimals BEFORE ranking (ties then break by term ascending), so the
-    ranking is reproducible bit-for-bit across engines.
+    """Top-k TF-IDF terms per document: (id, term, score, rank) with
+    ties broken by term ascending so the ranking is deterministic.
+
+    ``idf`` selects the weighting:
+
+    * ``"log"`` (default, classic): score = round(tf * ln(N/df), 6).
+      ``ln`` is libm-dependent — Java's ``Math.log`` and another
+      engine's ``log`` may differ by 1 ulp, so a score sitting exactly
+      on a rounding boundary can flip between engines. Fine for use;
+      risky as a bit-exact cross-engine oracle.
+    * ``"rational"``: score = tf * N / df rounded half-up to 6 decimals
+      **in exact integer arithmetic** — floor((tf*N*2e6 + df)/(2*df)),
+      then one IEEE-exact division by 1e6. ``+,-,*,/`` are correctly
+      rounded per IEEE 754 in every engine (unlike ``ln``), so both the
+      score doubles and the (score desc, term asc) ranking reproduce
+      bit-for-bit anywhere. Log-free idf weights rare terms more
+      steeply but preserves the "rarer ⇒ higher idf" ordering; the
+      integer numerator tf*N*2e6 needs BIGINT headroom (tf·N < 4.6e12 —
+      cast up to DECIMAL beyond that corpus size).
 
     Plan shape: tokenize+explode (map-side), one groupBy(doc, term) for
-    tf, one groupBy(term) for document frequency — broadcast back onto
-    tf (the vocabulary ≪ corpus) — and a per-doc top-k window. N (the
-    corpus document count) is one bounded scalar job. At 100 TB the df
-    table is the only global state and it is vocabulary-sized."""
+    tf, one groupBy(term) for document frequency — joined back onto tf —
+    and a per-doc top-k window. N (the corpus document count) is one
+    bounded scalar job. At 100 TB the df table is the only global state
+    and it is vocabulary-sized: it is broadcast only while its term
+    count stays under ``max_broadcast_terms`` (one column-pruned count
+    on the already-shuffled tf side — negligible); a web-scale
+    vocabulary (billions of distinct tokens) would OOM the driver on an
+    unconditional broadcast, so above the threshold the join falls back
+    to a plain shuffle join and AQE picks the strategy — the same guard
+    pattern as stats.incremental_uniqueness_violations."""
+    if idf not in ("log", "rational"):
+        raise ValueError(f"idf must be 'log' or 'rational', got {idf!r}")
     n_docs = df.select(id_col).distinct().count()  # bounded: one scalar
     toks = df.select(
         F.col(id_col).alias("doc"),
@@ -208,13 +237,23 @@ def tfidf_top_terms(
     )
     tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(dfreq), "term").select(
-        "doc",
+    n_terms = dfreq.count()  # bounded: one scalar over the slim df table
+    joined = tf.join(
+        F.broadcast(dfreq) if n_terms <= max_broadcast_terms else dfreq,
         "term",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("score"),
     )
+    if idf == "log":
+        score = F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        )
+    else:
+        # exact integer half-up rounding of tf*N*1e6/df, then /1e6 —
+        # every step correctly rounded, bit-identical across engines
+        num = F.col("tf") * F.lit(int(n_docs)) * F.lit(2_000_000) + F.col("df")
+        score = (
+            F.floor(num / (F.col("df") * 2)).cast("double") / F.lit(1e6)
+        )
+    scored = joined.select("doc", "term", score.alias("score"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc").orderBy(F.desc("score"), F.asc("term"))

@@ -203,13 +203,25 @@ def replay_sessions_batched(
     each batch slice in order, carrying the open-session state across
     batch boundaries; the final open session is flushed
     (``closed_by='flush'``, the watermark-timeout analogue). Output:
-    (user_id, session_start double, session_end double,
-    n_events bigint, closed_by string) — epoch seconds, aggregate-ready.
+    (user_id <source key dtype>, session_start double, session_end
+    double, n_events bigint, closed_by string) — epoch seconds,
+    aggregate-ready. The key column keeps the INPUT column's type (a
+    bigint user_id stays bigint) so replay output aggregates compare
+    hash-identical with the batch twin — the streaming operator's
+    string-keyed state layout is an internal detail, not part of the
+    output contract.
 
     Distribution: one shuffle on user_id (identical to the streaming
     operator's state partitioning); per-group memory is the user's
     events, the same as any windowed sessionization group."""
     import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
 
     gap = float(gap_minutes) * 60.0
     sec = F.col(ts_col).cast("timestamp").cast("double")
@@ -217,13 +229,16 @@ def replay_sessions_batched(
         F.min(sec).alias("mn"), F.max(sec).alias("mx")
     ).collect()[0]  # bounded collect: two scalars
     mn, mx = bounds["mn"], bounds["mx"]
-    out_schema = (
-        "user_id string, session_start double, session_end double, "
-        "n_events bigint, closed_by string"
+    out_schema = StructType(
+        [
+            StructField("user_id", events.schema[user_col].dataType),
+            StructField("session_start", DoubleType()),
+            StructField("session_end", DoubleType()),
+            StructField("n_events", LongType()),
+            StructField("closed_by", StringType()),
+        ]
     )
-    ev = events.select(
-        F.col(user_col).cast("string").alias("user_id"), sec.alias("sec")
-    )
+    ev = events.select(F.col(user_col).alias("user_id"), sec.alias("sec"))
     if mn is None:
         return ev.sparkSession.createDataFrame([], out_schema)
     span = max(float(mx) - float(mn), 1e-9)

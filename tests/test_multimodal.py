@@ -270,6 +270,92 @@ def test_y4m_codec_roundtrip():
         encode_y4m(odd, colorspace="420jpeg")
 
 
+def test_y4m_odd_dimension_c420_rejected_everywhere():
+    """The two classic demuxer edge bugs, part 1: odd-dimension C420.
+    A floor-dividing demuxer would mis-size the chroma planes and walk
+    the stream off-by-(w//2 or h//2) bytes per frame; this demuxer's
+    contract is to REJECT odd-dim 420 headers cleanly (the Y4M/420
+    convention — 2x2 chroma blocks need even dims), which the payload
+    report must surface as decode_ok=false, never a task failure."""
+    import numpy as np
+
+    from oblate_spark.functions.videocodecs import (
+        VideoDecodeError, encode_y4m, probe_y4m,
+    )
+
+    rng = np.random.default_rng(23)
+    for w, h in ((5, 4), (4, 5), (5, 5), (1, 1), (3, 9)):
+        # hand-craft the header (encode_y4m refuses to produce these):
+        # plausible floor-sized payload so only the header check can
+        # catch it
+        plane = w * h + 2 * ((w // 2) * (h // 2))
+        body = rng.integers(0, 256, plane, dtype=np.uint8).tobytes()
+        for cs in ("420jpeg", "420mpeg2", "420"):
+            blob = (
+                f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C{cs}\n".encode()
+                + b"FRAME\n" + body
+            )
+            with pytest.raises(VideoDecodeError):
+                probe_y4m(blob)
+    # the same dims are fine for 444/mono (no chroma blocks)
+    odd = rng.integers(0, 256, (1, 5, 7, 3), dtype=np.uint8)
+    assert probe_y4m(encode_y4m(odd, colorspace="444"))["n_frames"] == 1
+    assert probe_y4m(encode_y4m(odd[:, :, :, 0], colorspace="mono"))["w"] == 7
+
+
+def test_y4m_truncated_mid_frame_payload():
+    """Part 2: truncation at EVERY byte position of the final frame —
+    header cut, FRAME-marker cut, and mid-plane cut must all raise
+    VideoDecodeError (probe walks every frame, so a short tail can
+    never silently report fewer frames... except exactly at a frame
+    boundary, where the stream genuinely IS a valid shorter clip)."""
+    import numpy as np
+
+    from oblate_spark.functions.videocodecs import (
+        VideoDecodeError, encode_y4m, probe_y4m,
+    )
+
+    rng = np.random.default_rng(29)
+    rgb = rng.integers(0, 256, (3, 4, 6, 3), dtype=np.uint8)
+    blob = encode_y4m(rgb, colorspace="420jpeg")
+    hdr_end = blob.index(b"\n") + 1
+    frame_size = len(b"FRAME\n") + 4 * 6 + 2 * (2 * 3)
+    assert len(blob) == hdr_end + 3 * frame_size
+    boundaries = {hdr_end + k * frame_size for k in (1, 2)}
+    for cut in range(hdr_end, len(blob)):
+        piece = blob[:cut]
+        if cut in boundaries:
+            assert probe_y4m(piece)["n_frames"] == (cut - hdr_end) // frame_size
+        else:
+            with pytest.raises(VideoDecodeError):
+                probe_y4m(piece)
+
+
+def test_video_payload_report_flags_odd_and_truncated(spark):
+    """End-to-end: the odd-dim C420 and truncated-frame payloads flow
+    through video_payload_report as decode_ok=false rows."""
+    import numpy as np
+
+    from oblate_spark.functions.videocodecs import encode_y4m
+    from oblate_spark.operators.multimodal import video_payload_report
+
+    rng = np.random.default_rng(31)
+    good = encode_y4m(
+        rng.integers(0, 256, (2, 4, 4, 3), dtype=np.uint8), colorspace="420jpeg"
+    )
+    oddhdr = b"YUV4MPEG2 W5 H4 F25:1 C420jpeg\nFRAME\n" + b"\x80" * (5 * 4 + 2 * 4)
+    rows = [
+        ("good", bytearray(good)),
+        ("odd_c420", bytearray(oddhdr)),
+        ("truncated", bytearray(good[:-3])),
+    ]
+    df = spark.createDataFrame(rows, "video_id string, payload binary")
+    rep = {r["video_id"]: r for r in video_payload_report(df).collect()}
+    assert rep["good"]["decode_ok"] is True and rep["good"]["n_frames"] == 2
+    assert rep["odd_c420"]["decode_ok"] is False
+    assert rep["truncated"]["decode_ok"] is False
+
+
 def test_y4m_probe_never_misraises():
     """Fuzz: arbitrary byte mutations of a valid stream either probe
     fine or raise VideoDecodeError — never any other exception (the
@@ -328,11 +414,38 @@ def test_video_frame_sample_real(spark):
         assert (px[:, :, 0] == gray[k]).all()
     assert all(got[("junk", k)]["is_stub"] is True for k in range(4))
 
-    # allow_stub=False drops undecodable payloads instead
+    # allow_stub=False: undecodable payloads become ONE marker row
+    # (frame_index=-1, frame_bytes NULL) instead of stub frames — a
+    # corrupt clip must never silently vanish from the output
     strict = video_frame_sample(
         df, bytes_col="payload", id_col="video_id", n_frames=4, allow_stub=False
     )
-    assert {r["video_id"] for r in strict.collect()} == {"real"}
+    srows = strict.collect()
+    assert {r["video_id"] for r in srows} == {"real", "junk"}
+    markers = [r for r in srows if r["video_id"] == "junk"]
+    assert len(markers) == 1
+    assert markers[0]["frame_index"] == -1
+    assert markers[0]["frame_bytes"] is None
+    assert markers[0]["is_stub"] is False
+    assert all(r["frame_index"] >= 0 for r in srows if r["video_id"] == "real")
+
+
+def test_video_frame_sample_strict_null_payload_marker(spark):
+    """NULL payloads also surface as marker rows in strict mode (and
+    are dropped in stub mode — no bytes to derive a stub from)."""
+    from oblate_spark.operators.multimodal import video_frame_sample
+
+    df = spark.createDataFrame(
+        [("nul", None)], "video_id string, payload binary"
+    )
+    strict = video_frame_sample(
+        df, bytes_col="payload", id_col="video_id", n_frames=4, allow_stub=False
+    ).collect()
+    assert len(strict) == 1 and strict[0]["frame_index"] == -1
+    lax = video_frame_sample(
+        df, bytes_col="payload", id_col="video_id", n_frames=4
+    ).collect()
+    assert lax == []
 
 
 def test_video_payload_report_and_fixture_manifest(spark):

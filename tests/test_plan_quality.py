@@ -286,3 +286,67 @@ def test_tfidf_broadcasts_idf_and_partitions_window(spark, images_path):
     assert "EvalPython" not in plan
     assert "BroadcastExchange" in plan, plan[:2000]
     assert "Window" in plan and "hashpartitioning(doc" in plan, plan[:3000]
+
+
+def test_tfidf_vocab_guard_falls_back_to_shuffle_join(spark, images_path):
+    """Above ``max_broadcast_terms`` the document-frequency join must
+    NOT broadcast — a web-scale vocabulary (billions of terms) would
+    OOM the driver; the guard trades the broadcast for a shuffle join.
+    Auto-broadcast is disabled so the assertion sees the explicit
+    decision, not Spark's size-based one."""
+    from oblate_spark.operators.text import tfidf_top_terms
+
+    src = spark.read.parquet(images_path).select(
+        F.col("image_id").alias("doc_id"), F.col("caption").alias("text")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = tfidf_top_terms(
+            src, id_col="doc_id", text_col="text", k=2, max_broadcast_terms=1
+        )
+        plan = plan_of(out)
+        assert "BroadcastExchange" not in plan, plan[:2000]
+        assert "Join" in plan, plan[:2000]  # shuffle join took over
+        assert out.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_tfidf_rational_idf_matches_log_ranking_shape(spark, images_path):
+    """idf='rational' keeps the plan identical to the log path (same
+    broadcast + doc-partitioned window) and stays expression-only."""
+    from oblate_spark.operators.text import tfidf_top_terms
+
+    src = spark.read.parquet(images_path).select(
+        F.col("image_id").alias("doc_id"), F.col("caption").alias("text")
+    )
+    plan = plan_of(
+        tfidf_top_terms(src, id_col="doc_id", text_col="text", k=2, idf="rational")
+    )
+    assert "EvalPython" not in plan
+    assert "BroadcastExchange" in plan, plan[:2000]
+    assert "Window" in plan and "hashpartitioning(doc" in plan, plan[:3000]
+
+
+def test_replay_sessions_single_shuffle_single_pandas_stage(spark):
+    """The stream-replay operator must shuffle ONCE on user_id into one
+    ApplyInPandas group stage — the operator class most at risk of
+    silently gaining a second exchange (e.g. a repartition sneaking in
+    before the groupBy)."""
+    from oblate_spark.streaming.sessions_stream import replay_sessions_batched
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = replay_sessions_batched(
+        ev, user_col="user_id", ts_col="ts", gap_minutes=30, n_batches=4
+    )
+    import re
+
+    plan = plan_of(out)
+    nodes = [l.strip() for l in plan.splitlines() if re.match(r"^\s*\(\d+\)", l)]
+    assert sum("Exchange" in n for n in nodes) == 1, nodes
+    assert "hashpartitioning(user_id" in plan, plan[:3000]
+    assert sum("FlatMapGroupsInPandas" in n for n in nodes) == 1, nodes
+    # output key keeps the source dtype (round-4's one red oracle row
+    # was a silent bigint->string cast here)
+    assert dict(out.dtypes)["user_id"] == dict(ev.dtypes)["user_id"]

@@ -19,8 +19,11 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canonical(rows, columns) -> str:
-    """Order-insensitive canonical form: sort columns by name, stringify
-    cells, sort rows."""
+    """Order-insensitive canonical form: sort columns by name, TYPE-TAG
+    + stringify cells, sort rows. The type tag makes the hash as strict
+    as the driver's: string ``'42'`` and bigint ``42`` must NOT collide
+    (a dtype-only mismatch shipped in round 4 because the old ``str()``
+    canonicalization was blind to it)."""
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     out = []
     for row in rows:
@@ -33,8 +36,51 @@ def _cell(v) -> str:
     if v is None:
         return "\x00"
     if isinstance(v, float):
-        return repr(v)
-    return str(v)
+        return f"float:{v!r}"
+    # bool before int would be redundant — type(True).__name__ == 'bool'
+    # already distinguishes it from int in the tag
+    return f"{type(v).__name__}:{v}"
+
+
+# engine type name -> canonical token, so the column-type assertion can
+# compare a Spark dtype string against a DuckDB type object
+_SPARK_TYPES = {
+    "bigint": "int64", "int": "int32", "integer": "int32",
+    "smallint": "int16", "tinyint": "int8",
+    "double": "float64", "float": "float32",
+    "string": "str", "varchar": "str", "boolean": "bool",
+    "timestamp": "timestamp", "timestamp_ntz": "timestamp",
+    "date": "date", "binary": "bytes",
+}
+_DUCK_TYPES = {
+    "bigint": "int64", "int64": "int64", "long": "int64",
+    "integer": "int32", "int32": "int32", "int": "int32",
+    "smallint": "int16", "int16": "int16", "tinyint": "int8",
+    "double": "float64", "float64": "float64",
+    "float": "float32", "real": "float32", "float32": "float32",
+    "varchar": "str", "boolean": "bool", "bool": "bool",
+    "timestamp": "timestamp",
+    "timestamp with time zone": "timestamp",
+    "date": "date", "blob": "bytes", "hugeint": "hugeint",
+}
+
+
+def _norm_type(name: str, table: dict) -> str:
+    s = str(name).strip().lower()
+    if s.startswith("decimal"):
+        return "decimal"
+    if s.startswith("array") or s.endswith("[]") or s.startswith("list"):
+        return "list"
+    for prefix in ("struct", "map"):
+        if s.startswith(prefix):
+            return prefix
+    return table.get(s, s)
+
+
+def typed_columns(cols_types, table: dict) -> list:
+    return sorted(
+        (c.lower(), _norm_type(t, table)) for c, t in cols_types
+    )
 
 
 def main() -> int:
@@ -62,6 +108,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            stypes = sdf.dtypes
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
@@ -76,6 +123,7 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             ocols = [c for c in rel.columns]
+            otypes = list(zip(ocols, rel.types))
             orows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
@@ -85,8 +133,10 @@ def main() -> int:
         problems = []
         if len(srows) != len(orows):
             problems.append(f"row count {len(srows)} vs {len(orows)}")
-        if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
-            problems.append(f"columns {sorted(scols)} vs {sorted(ocols)}")
+        st = typed_columns(stypes, _SPARK_TYPES)
+        ot = typed_columns(otypes, _DUCK_TYPES)
+        if st != ot:
+            problems.append(f"typed columns {st} vs {ot}")
         if not problems:
             cs, co = canonical(srows, scols), canonical(orows, ocols)
             if cs != co:
