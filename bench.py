@@ -42,10 +42,11 @@ vary 2-4x; bursts last MINUTES, so one sweep can sit entirely inside
 one). The sweep therefore runs K_SWEEPS INTERLEAVED rounds — each round
 takes TIMED_RUNS steady-state samples per point (fresh-JVM warm-up on a
 file subset excluded, cache cleared between runs) and computes its own
-min-of-noise efficiency; the headline is the BEST round's efficiency,
-reported alongside the per-round list, the median, and the pooled
-(global-min across rounds) estimate, with every raw sample attached in
-scaling.sweeps. Round 1 measures both pairings + controls; later rounds
+min-of-noise efficiency; the HEADLINE is the POOLED per-point-min
+across all rounds (per-round efficiencies, their median, and the best
+valid round are reported alongside, with every raw sample attached in
+scaling.sweeps — a per-round value above pooled can only come from an
+inflated lo point, so rounds > 1.0 are flagged artifacts). Round 1 measures both pairings + controls; later rounds
 re-measure the headline pairing only (the saturated pairing is context,
 not the north-rule criterion). The control is measured inside each
 round, same climate.
@@ -295,24 +296,23 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
-    headline = [
-        "validate_lineitem",
-        "verdict_summary_lineitem",
-        "column_profile_lineitem",
-        "duplicate_o_custkey",
-        "referential_lineitem_orders",
-        "histogram_extendedprice",
-        "psi_extendedprice",
-        "lsh_candidates_documents",
-        "knn_bruteforce",
-        "events_hourly_counts",
-    ]
+    # time EVERY registered query, not a headline subset — the
+    # per-query floor in BENCH/query_mins.json (min across all bench
+    # invocations) is the regression detector, and a query without a
+    # recorded floor is a query whose plan can silently regress.
+    # image_validation is excluded here: it is metered separately below
+    # on the 480k-image table (its registered sf-dir variant is a
+    # 9-row golden-manifest check, not a throughput measurement).
+    # Timed with collect(), not count(): count() over a no-groupBy
+    # aggregate lets Catalyst prune the aggregation itself, and every
+    # registered query's result set is driver-small by design.
     qmap = entrymod.queries()
     timings: dict[str, float] = {}
-    for name in headline:
+    for name, q in qmap.items():
+        if name == "image_validation":
+            continue
         t0 = time.time()
-        df = qmap[name](spark, SF_DIR)
-        df.count()
+        q(spark, SF_DIR).collect()
         timings[name] = round(time.time() - t0, 3)
 
     # metered image-validation throughput at full cores: one full
