@@ -596,6 +596,91 @@ def q_null_implication_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASOF_TOLERANCE_SEC = 7200  # 2h attribution window
+
+
+def q_asof_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward, 2h tolerance): every click event gets the
+    most recent purchase by the same user at-or-before it. Right-side
+    ties on (user_id, ts) break toward max purchase_id on both sides
+    (operator: right_order; oracle: pre-dedup before ASOF JOIN).
+    Tolerance compares exact unix_micros BIGINTs in both engines."""
+    from oblate_spark.operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="p_ts",
+        right_cols=["purchase_id", "p_value"],
+        tolerance=ASOF_TOLERANCE_SEC,
+        right_order="purchase_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("purchase_id").cast("bigint").alias("purchase_id"),
+        F.col("p_value").cast("double").alias("p_value"),
+    )
+
+
+def q_repetition_signals_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals; every doc is augmented with a
+    deterministic boilerplate tail (doc_id % 5 copies of a repeated
+    bigram) so the top-fraction columns gate real discrimination, not
+    near-constant values. All ratios are exact-integer quotients —
+    bit-identical across engines without rounding."""
+    from oblate_spark.operators.text import repetition_signals
+
+    d = _read(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.repeat(F.lit(" spam ham"), (F.col("doc_id") % 5).cast("int")),
+        ).alias("text"),
+    )
+    return repetition_signals(aug, id_col="doc_id", text_col="text")
+
+
+def q_approx_distinct_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch gate (the 100 TB profiling path): per column,
+    approx_count_distinct must land within max(20% of exact, 2) of the
+    exact single-distinct count. Oracle emits the exact counts + TRUE —
+    the same tolerance-boolean pattern as the t-digest gates."""
+    from oblate_spark.operators.stats import column_profile
+
+    cols = ["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"]
+    li = _read(spark, sf_dir, "lineitem").select(*cols)
+    ap = column_profile(li, cols, exact_distinct=False, approx_rsd=0.05).select(
+        "column", F.col("distinct_count").alias("approx")
+    )
+    ex = column_profile(li, cols, exact_distinct=True).select(
+        "column", F.col("distinct_count").alias("exact")
+    )
+    j = ex.join(ap, "column")
+    tol = F.greatest(F.col("exact").cast("double") * 0.2, F.lit(2.0))
+    return j.select(
+        F.col("column").alias("col_name"),
+        F.col("exact").cast("bigint").alias("exact_distinct"),
+        (
+            F.abs(F.col("approx").cast("double") - F.col("exact").cast("double"))
+            <= tol
+        ).alias("within_tol"),
+    )
+
+
 def q_pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over documents augmented with deterministic
     synthetic PII (the raw corpus has none, which would gate nothing):
@@ -753,6 +838,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms_documents": q_tfidf_top_terms_documents,
         "fd_violations_lineitem": q_fd_violations_lineitem,
         "null_implication_documents": q_null_implication_documents,
+        "asof_clicks_purchases": q_asof_clicks_purchases,
+        "repetition_signals_documents": q_repetition_signals_documents,
+        "approx_distinct_lineitem": q_approx_distinct_lineitem,
     }
 
 
@@ -1044,6 +1132,91 @@ def oracle_sql() -> dict[str, str]:
                    source AS value_repr
             FROM documents
             WHERE doc_id % 7 = 0 AND doc_id % 14 <> 0
+        """,
+        # DuckDB's native ASOF JOIN is the oracle; the right side is
+        # pre-deduped to max purchase_id per (user_id, ts), matching the
+        # operator's right_order tiebreak. Tolerance compares exact
+        # epoch_us BIGINTs, mirroring Spark's unix_micros — no float
+        # time arithmetic in either engine.
+        "asof_clicks_purchases": f"""
+            WITH clicks AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'),
+            p AS (
+                SELECT event_id AS purchase_id, user_id, ts, value
+                FROM events WHERE event_type = 'purchase'
+                QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                           ORDER BY event_id DESC) = 1),
+            j AS (
+                SELECT c.event_id, c.user_id, c.ts AS cts,
+                       p.purchase_id, p.value AS p_value, p.ts AS pts
+                FROM clicks c ASOF LEFT JOIN p
+                  ON c.user_id = p.user_id AND c.ts >= p.ts)
+            SELECT event_id, user_id,
+                   CASE WHEN pts IS NOT NULL
+                             AND epoch_us(cts) - epoch_us(pts)
+                                 <= {ASOF_TOLERANCE_SEC}::BIGINT * 1000000
+                        THEN purchase_id END::BIGINT AS purchase_id,
+                   CASE WHEN pts IS NOT NULL
+                             AND epoch_us(cts) - epoch_us(pts)
+                                 <= {ASOF_TOLERANCE_SEC}::BIGINT * 1000000
+                        THEN p_value END::DOUBLE AS p_value
+            FROM j
+        """,
+        # ratios are quotients of exact integer counts — single IEEE
+        # divisions, bit-identical across engines, no rounding
+        "repetition_signals_documents": f"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text || repeat(' spam ham', (doc_id % 5)::INT) AS text
+                FROM documents),
+            toks AS (SELECT doc_id, unnest({_TOKENS}) AS g FROM aug),
+            uni AS (SELECT doc_id, g, count(*)::BIGINT AS c
+                    FROM toks GROUP BY 1, 2),
+            us AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+                          count(*)::BIGINT AS n_distinct,
+                          max(c)::BIGINT AS top_c
+                   FROM uni GROUP BY 1),
+            tl AS (SELECT doc_id, {_TOKENS} AS tokens FROM aug),
+            big AS (SELECT doc_id,
+                           unnest(list_transform(
+                               generate_series(1, len(tokens) - 1),
+                               i -> tokens[i] || ' ' || tokens[i + 1])) AS g
+                    FROM tl),
+            bi AS (SELECT doc_id, g, count(*)::BIGINT AS c
+                   FROM big GROUP BY 1, 2),
+            bs AS (SELECT doc_id, sum(c)::BIGINT AS n_bi,
+                          max(c)::BIGINT AS top_bi
+                   FROM bi GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(us.n_tokens, 0)::BIGINT AS n_tokens,
+                   CASE WHEN us.n_tokens > 0
+                        THEN us.n_distinct / us.n_tokens::DOUBLE
+                        ELSE 0.0 END::DOUBLE AS distinct_token_ratio,
+                   CASE WHEN us.n_tokens > 0
+                        THEN us.top_c / us.n_tokens::DOUBLE
+                        ELSE 0.0 END::DOUBLE AS top_token_fraction,
+                   CASE WHEN bs.n_bi > 0
+                        THEN bs.top_bi / bs.n_bi::DOUBLE
+                        ELSE 0.0 END::DOUBLE AS top_bigram_fraction
+            FROM documents d
+            LEFT JOIN us USING (doc_id) LEFT JOIN bs USING (doc_id)
+        """,
+        # tolerance-boolean gate for the HLL sketch (same pattern as the
+        # t-digest oracles): the oracle pins the exact counts and TRUE
+        "approx_distinct_lineitem": """
+            SELECT 'l_orderkey' AS col_name,
+                   count(DISTINCT l_orderkey)::BIGINT AS exact_distinct,
+                   TRUE AS within_tol FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', count(DISTINCT l_quantity)::BIGINT, TRUE
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', count(DISTINCT l_extendedprice)::BIGINT,
+                   TRUE FROM lineitem
+            UNION ALL
+            SELECT 'l_returnflag', count(DISTINCT l_returnflag)::BIGINT, TRUE
+            FROM lineitem
         """,
         "pii_scrub_documents": r"""
             WITH aug AS (

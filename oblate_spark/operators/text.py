@@ -21,6 +21,7 @@ __all__ = [
     "fingerprint",
     "PII_PATTERNS",
     "pii_scrub",
+    "repetition_signals",
     "tfidf_top_terms",
 ]
 
@@ -186,6 +187,83 @@ def pii_scrub(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
         counts.append(F.regexp_count(stage, F.lit(pat)).alias(f"n_{name}"))
         stage = F.regexp_replace(stage, pat, f"[{name.upper()}]")
     return df.select(F.col(id_col), stage.alias("clean_text"), *counts)
+
+
+def repetition_signals(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition/boilerplate signals per document:
+    (id, n_tokens, distinct_token_ratio, top_token_fraction,
+    top_bigram_fraction). High top-fractions / low distinct ratio flag
+    the auto-generated and template pages a training corpus should
+    drop — the repetition filters of the Gopher/MassiveText and
+    RefinedWeb cleaning recipes.
+
+    All ratios are quotients of exact integer counts (single IEEE
+    division — bit-identical in any engine, no rounding needed), so a
+    SQL oracle reproduces them exactly. Documents with zero tokens (or
+    < 2 tokens for the bigram fraction) report 0.0.
+
+    Plan shape: two explode fan-outs (unigrams, bigrams), each through
+    groupBy(doc, gram) -> groupBy(doc), joined back per-doc. Everything
+    is keyed by doc after the first shuffle, and the per-gram
+    aggregation is algebraic (map-side combined), so a skewed
+    boilerplate gram never concentrates on one task. At 100 TB this is
+    the same shape as the TF stage of tfidf_top_terms."""
+    base = df.select(
+        F.col(id_col).alias("doc"), tokens_expr(F.col(text_col)).alias("toks")
+    )
+    # guard: Spark's sequence(1, 0) yields [1, 0] (descending step), so
+    # short docs must short-circuit to an empty bigram array
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            "zip_with(slice(toks, 1, size(toks) - 1),"
+            "         slice(toks, 2, size(toks) - 1),"
+            "         (a, b) -> concat(a, ' ', b))"
+        ),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+
+    def gram_stats(col, total, distinct, top):
+        return (
+            base.select("doc", F.explode(col).alias("g"))
+            .groupBy("doc", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("doc")
+            .agg(
+                F.sum("c").alias(total),
+                F.count(F.lit(1)).alias(distinct),
+                F.max("c").alias(top),
+            )
+        )
+
+    uni = gram_stats(F.col("toks"), "n_tokens", "n_distinct", "top_c")
+    bi = gram_stats(bigrams, "n_bi", "n_bi_distinct", "top_bi")
+    return (
+        df.select(F.col(id_col).alias("doc"))
+        .join(uni, "doc", "left")
+        .join(bi.select("doc", "n_bi", "top_bi"), "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("distinct_token_ratio"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("top_c").cast("double") / F.col("n_tokens").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_token_fraction"),
+            F.when(
+                F.col("n_bi") > 0,
+                F.col("top_bi").cast("double") / F.col("n_bi").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_fraction"),
+        )
+    )
 
 
 def tfidf_top_terms(

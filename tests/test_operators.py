@@ -467,3 +467,100 @@ def test_functional_dependency_and_null_implication(spark):
     assert [(r["row_id"], r["error_code"], r["value_repr"]) for r in v] == [
         ("1", "implication.violated", "s")
     ]
+
+
+def test_asof_join_backward_forward_tolerance(spark):
+    """asof_join semantics: inclusive backward/forward match, tolerance
+    nulling, tie-break via right_order, left-join behavior for
+    matchless keys."""
+    from oblate_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "a", 100.0),
+            (2, "a", 205.0),
+            (3, "a", 300.0),
+            (4, "b", 50.0),   # user with no purchases at all
+            (5, "a", 200.0),  # exactly equal to a right time: inclusive
+        ],
+        "lid long, k string, t double",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "a", 90.0, 1.0),
+            (11, "a", 200.0, 2.0),
+            (12, "a", 200.0, 3.0),  # tie on (k, t): max rid wins backward
+            (13, "a", 290.0, 4.0),
+        ],
+        "rid long, k string, t double, val double",
+    )
+    out = asof_join(
+        left, right.withColumnRenamed("t", "rt"),
+        on="k", left_time="t", right_time="rt",
+        right_cols=["rid", "val"], right_order="rid",
+    )
+    got = {r["lid"]: (r["rid"], r["val"]) for r in out.collect()}
+    assert got[1] == (10, 1.0)
+    assert got[5] == (12, 3.0)   # inclusive + tie toward max rid
+    assert got[2] == (12, 3.0)
+    assert got[3] == (13, 4.0)
+    assert got[4] == (None, None)
+
+    # tolerance: lid=1 is 10s after rid=10 -> survives tol=10, dies tol=5
+    tol = asof_join(
+        left, right.withColumnRenamed("t", "rt"),
+        on="k", left_time="t", right_time="rt",
+        right_cols=["rid"], right_order="rid", tolerance=5,
+    )
+    gtol = {r["lid"]: r["rid"] for r in tol.collect()}
+    assert gtol[1] is None and gtol[5] == 12 and gtol[2] == 12
+
+    # forward: nearest right at-or-after; ties toward min rid
+    fwd = asof_join(
+        left, right.withColumnRenamed("t", "rt"),
+        on="k", left_time="t", right_time="rt",
+        right_cols=["rid"], right_order="rid", direction="forward",
+    )
+    gf = {r["lid"]: r["rid"] for r in fwd.collect()}
+    assert gf[1] == 11  # ties at 200 break toward MIN rid forward
+    assert gf[5] == 11
+    assert gf[2] == 13
+    assert gf[3] is None  # nothing after 300
+    assert gf[4] is None
+
+    # name collision gets the suffix; matched time column always present
+    assert "rt_asof" in out.columns
+    with pytest.raises(ValueError):
+        asof_join(left, right, on="missing", left_time="t",
+                  right_time="t", right_cols=["rid"])
+    with pytest.raises(ValueError):
+        asof_join(left, right, on="k", left_time="t", right_time="t",
+                  right_cols=["rid"], direction="nearest")
+
+
+def test_repetition_signals(spark):
+    from oblate_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham spam ham spam ham"),     # heavy bigram repeat
+            (2, "all tokens here are distinct"),
+            (3, ""),                               # empty text
+            (4, "one"),                            # single token: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_signals(
+        df, id_col="doc_id", text_col="text").collect()}
+    r1 = out[1]
+    assert r1["n_tokens"] == 6
+    assert r1["distinct_token_ratio"] == 2 / 6
+    assert r1["top_token_fraction"] == 3 / 6
+    # bigrams: [spam ham, ham spam, spam ham, ham spam, spam ham] -> 3/5
+    assert r1["top_bigram_fraction"] == 3 / 5
+    r2 = out[2]
+    assert r2["distinct_token_ratio"] == 1.0
+    assert r2["top_token_fraction"] == 1 / 5
+    assert r2["top_bigram_fraction"] == 1 / 4
+    assert out[3]["n_tokens"] == 0 and out[3]["top_bigram_fraction"] == 0.0
+    assert out[4]["n_tokens"] == 1 and out[4]["top_bigram_fraction"] == 0.0

@@ -350,3 +350,36 @@ def test_replay_sessions_single_shuffle_single_pandas_stage(spark):
     # output key keeps the source dtype (round-4's one red oracle row
     # was a silent bigint->string cast here)
     assert dict(out.dtypes)["user_id"] == dict(ev.dtypes)["user_id"]
+
+
+def test_asof_join_single_shuffle_no_python(spark):
+    """asof_join must compile to ONE Exchange (the co-partitioning on
+    the key) + one Window over the union — no Python stage, no second
+    shuffle, no join node at all (the 'join' is the last-ignorenulls
+    carry)."""
+    import re
+
+    from oblate_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("p_ts"), F.col("value").alias("p_value"),
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", left_time="ts", right_time="p_ts",
+        right_cols=["purchase_id", "p_value"], tolerance=7200,
+        right_order="purchase_id",
+    )
+    plan = plan_of(out)
+    nodes = [l.strip() for l in plan.splitlines() if re.match(r"^\s*\(\d+\)", l)]
+    assert sum("Exchange" in n for n in nodes) == 1, nodes
+    assert "hashpartitioning(user_id" in plan, plan[:3000]
+    assert sum("Window" in n for n in nodes) == 1, nodes
+    assert "EvalPython" not in plan
+    assert not any("Join" in n for n in nodes), nodes
+    # filters reach both parquet scans
+    assert "PushedFilters: [IsNotNull(event_type)" in plan, plan[:4000]
