@@ -635,6 +635,40 @@ def q_asof_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grain-bucketed range join, keyless (pure temporal containment —
+    the shape where a naive non-equi join planner falls back to a
+    BroadcastNestedLoopJoin): every click inside any signup's
+    [ts, ts + floor(value) minutes] window. End bounds are exact
+    integer microseconds (floor of the double minutes value) in both
+    engines; grain_seconds only shapes the plan, never the result."""
+    from oblate_spark.operators.ranges import interval_join
+
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "ts")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("s_ts"),
+        F.timestamp_micros(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.floor(F.col("value")).cast("long") * 60_000_000
+        ).alias("e_ts"),
+    )
+    out = interval_join(
+        clicks,
+        signups,
+        point_time="ts",
+        start_col="s_ts",
+        end_col="e_ts",
+        grain_seconds=300,
+        interval_cols=["signup_id"],
+    )
+    return out.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("signup_id").cast("bigint").alias("signup_id"),
+    )
+
+
 def q_repetition_signals_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals; every doc is augmented with a
     deterministic boilerplate tail (doc_id % 5 copies of a repeated
@@ -839,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_violations_lineitem": q_fd_violations_lineitem,
         "null_implication_documents": q_null_implication_documents,
         "asof_clicks_purchases": q_asof_clicks_purchases,
+        "interval_join_events": q_interval_join_events,
         "repetition_signals_documents": q_repetition_signals_documents,
         "approx_distinct_lineitem": q_approx_distinct_lineitem,
     }
@@ -1162,6 +1197,22 @@ def oracle_sql() -> dict[str, str]:
                                  <= {ASOF_TOLERANCE_SEC}::BIGINT * 1000000
                         THEN p_value END::DOUBLE AS p_value
             FROM j
+        """,
+        # plain BETWEEN join is the oracle; the engine side buckets by
+        # grain, which affects only the plan — bounds are exact integer
+        # microseconds in both engines (floor of double minutes, then
+        # integer add: no float time arithmetic at the boundary)
+        "interval_join_events": """
+            WITH c AS (
+                SELECT event_id, epoch_us(ts) AS t_us FROM events
+                WHERE event_type = 'click'),
+            s AS (
+                SELECT event_id AS signup_id, epoch_us(ts) AS s_us,
+                       epoch_us(ts) + floor(value)::BIGINT * 60000000 AS e_us
+                FROM events WHERE event_type = 'signup')
+            SELECT c.event_id::BIGINT AS event_id,
+                   s.signup_id::BIGINT AS signup_id
+            FROM c JOIN s ON c.t_us BETWEEN s.s_us AND s.e_us
         """,
         # ratios are quotients of exact integer counts — single IEEE
         # divisions, bit-identical across engines, no rounding

@@ -564,3 +564,50 @@ def test_repetition_signals(spark):
     assert r2["top_bigram_fraction"] == 1 / 4
     assert out[3]["n_tokens"] == 0 and out[3]["top_bigram_fraction"] == 0.0
     assert out[4]["n_tokens"] == 1 and out[4]["top_bigram_fraction"] == 0.0
+
+
+def test_interval_join_containment_semantics(spark):
+    """interval_join: inclusive bounds, multi-grain intervals, inverted
+    intervals match nothing, keys shard the match, grain choice never
+    changes results."""
+    from oblate_spark.operators.ranges import interval_join
+
+    points = spark.createDataFrame(
+        [
+            (1, "u1", "2024-01-01 00:00:00"),
+            (2, "u1", "2024-01-01 00:10:00"),
+            (3, "u1", "2024-01-01 00:20:00.000001"),  # 1us past end
+            (4, "u2", "2024-01-01 00:10:00"),          # other key
+        ],
+        "pid long, user string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ivs = spark.createDataFrame(
+        [
+            (100, "u1", "2024-01-01 00:00:00", "2024-01-01 00:20:00"),
+            (101, "u1", "2024-01-01 00:30:00", "2024-01-01 00:25:00"),  # inverted
+            (102, "u2", "2024-01-01 00:05:00", "2024-01-01 00:15:00"),
+        ],
+        "iid long, user string, s string, e string",
+    ).withColumn("s", F.col("s").cast("timestamp")).withColumn(
+        "e", F.col("e").cast("timestamp")
+    )
+
+    for grain in (60, 300, 3600):
+        out = interval_join(
+            points, ivs, point_time="ts", start_col="s", end_col="e",
+            grain_seconds=grain, keys=["user"], interval_cols=["iid"],
+        )
+        got = sorted((r["pid"], r["iid"]) for r in out.collect())
+        assert got == [(1, 100), (2, 100), (4, 102)], (grain, got)
+
+    # keyless (pure temporal): u2's point now falls into u1's window too
+    out = interval_join(
+        points, ivs, point_time="ts", start_col="s", end_col="e",
+        grain_seconds=300, interval_cols=["iid"],
+    )
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+    assert got == [(1, 100), (2, 100), (2, 102), (4, 100), (4, 102)], got
+
+    with pytest.raises(ValueError):
+        interval_join(points, ivs, point_time="ts", start_col="s",
+                      end_col="e", grain_seconds=0)

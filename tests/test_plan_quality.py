@@ -383,3 +383,38 @@ def test_asof_join_single_shuffle_no_python(spark):
     assert not any("Join" in n for n in nodes), nodes
     # filters reach both parquet scans
     assert "PushedFilters: [IsNotNull(event_type)" in plan, plan[:4000]
+
+
+def test_interval_join_is_equi_join_not_nested_loop(spark):
+    """The range join must plan as ONE explode + an EQUI join on the
+    grain — never the BroadcastNestedLoopJoin/CartesianProduct a naive
+    non-equi condition produces (quadratic at scale)."""
+    import re
+
+    from oblate_spark.operators.ranges import interval_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "ts")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("s_ts"),
+        F.timestamp_micros(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.floor(F.col("value")).cast("long") * 60_000_000
+        ).alias("e_ts"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = interval_join(
+            clicks, signups, point_time="ts", start_col="s_ts",
+            end_col="e_ts", grain_seconds=300, interval_cols=["signup_id"],
+        )
+        plan = plan_of(out)
+        nodes = [l.strip() for l in plan.splitlines() if re.match(r"^\s*\(\d+\)", l)]
+        assert not any("NestedLoop" in n or "Cartesian" in n for n in nodes), nodes
+        assert any("SortMergeJoin" in n or "ShuffledHashJoin" in n for n in nodes), nodes
+        assert sum(bool(re.match(r"\(\d+\) Generate", n)) for n in nodes) == 1, nodes
+        assert "EvalPython" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
