@@ -715,6 +715,128 @@ def q_approx_distinct_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming near-dup pairs over 48-bit simhashes via bit-sliced LSH
+    (4 bands of 12 bits; bands > max_distance, so the banded join is
+    provably exhaustive and the all-pairs SQL oracle is the exact
+    ground truth, not an approximation being excused)."""
+    from oblate_spark.operators.dedup import simhash, simhash_hamming_pairs
+
+    d = _read(spark, sf_dir, "documents")
+    sigs = simhash(d, id_col="doc_id", text_col="text", bits=SIMHASH_BITS)
+    out = simhash_hamming_pairs(
+        sigs, id_col="doc_id", bits=SIMHASH_BITS, bands=4, max_distance=3
+    )
+    return out.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("hamming").cast("bigint").alias("hamming"),
+    )
+
+
+NGRAM_CONTAM_N = 4  # corpus vocabulary is tiny; 13-grams would never collide
+
+
+def q_ngram_contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: n-gram overlap of every document
+    against a 'benchmark' slice (doc_id % 20 == 0 stands in for the
+    eval corpus). Counts are exact; the fraction is one IEEE division."""
+    from oblate_spark.operators.text import ngram_contamination
+
+    d = _read(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    out = ngram_contamination(
+        d, bench, id_col="doc_id", text_col="text", n=NGRAM_CONTAM_N
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("n_contaminated").cast("bigint").alias("n_contaminated"),
+        F.col("contamination").cast("double").alias("contamination"),
+    )
+
+
+PACK_BUDGET = 256
+PACK_SHARDS = 4
+
+
+def q_pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: shard by doc_id % 4, order by
+    doc_id, cumulative token offsets -> sequence ids. All BIGINTs."""
+    from oblate_spark.operators.sampling import pack_sequences
+    from oblate_spark.operators.text import token_count
+
+    d = _read(spark, sf_dir, "documents")
+    tc = token_count(d, id_col="doc_id", text_col="text").select(
+        "doc_id", "n_tokens"
+    )
+    out = pack_sequences(
+        tc,
+        id_col="doc_id",
+        tokens_col="n_tokens",
+        budget=PACK_BUDGET,
+        n_shards=PACK_SHARDS,
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("tokens").cast("bigint").alias("tokens"),
+        F.col("shard").cast("bigint").alias("shard"),
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        F.col("seq_offset").cast("bigint").alias("seq_offset"),
+    )
+
+
+SAMPLE_SALT = "r5"
+SAMPLE_STRATA = {"en": 0.5, "de": 0.25}
+SAMPLE_DEFAULT_FRACTION = 0.1
+
+
+def q_deterministic_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5-threshold stratified sampling: keep 50% of 'en', 25% of
+    'de', 10% otherwise — decided per row by a hash, so the sample is
+    identical across engines, reruns and partitionings (df.sample is
+    none of those)."""
+    from oblate_spark.operators.sampling import deterministic_sample
+
+    d = _read(spark, sf_dir, "documents")
+    out = deterministic_sample(
+        d,
+        key_cols=["doc_id"],
+        fraction=SAMPLE_DEFAULT_FRACTION,
+        strata_fractions=SAMPLE_STRATA,
+        strata_col="lang",
+        salt=SAMPLE_SALT,
+    )
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"), "lang")
+
+
+ROLLING_WINDOW_SEC = 3600
+
+
+def q_rolling_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour per-user window features for every event; integer
+    microsecond frames and integer cents make the range-frame window
+    oracle-exact (double sums would be accumulation-order-dependent)."""
+    from oblate_spark.operators.features import rolling_event_features
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = rolling_event_features(
+        ev,
+        key_cols=["user_id"],
+        time_col="ts",
+        value_col="value",
+        window_seconds=ROLLING_WINDOW_SEC,
+    )
+    return out.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("t_us").cast("bigint").alias("t_us"),
+        F.col("w_count").cast("bigint").alias("w_count"),
+        F.col("w_sum_cents").cast("bigint").alias("w_sum_cents"),
+        F.col("w_max_cents").cast("bigint").alias("w_max_cents"),
+    )
+
+
 def q_pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over documents augmented with deterministic
     synthetic PII (the raw corpus has none, which would gate nothing):
@@ -876,6 +998,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_events": q_interval_join_events,
         "repetition_signals_documents": q_repetition_signals_documents,
         "approx_distinct_lineitem": q_approx_distinct_lineitem,
+        "simhash_near_dup_documents": q_simhash_near_dup_documents,
+        "ngram_contamination_documents": q_ngram_contamination_documents,
+        "pack_sequences_documents": q_pack_sequences_documents,
+        "deterministic_sample_documents": q_deterministic_sample_documents,
+        "rolling_event_features": q_rolling_event_features,
     }
 
 
@@ -948,6 +1075,34 @@ def _sql_simhash() -> str:
     hashed AS (SELECT doc_id, md5(tok) AS th FROM toks),
     votes AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
     SELECT doc_id, {combine} AS simhash FROM votes
+    """
+
+
+def _sql_simhash_pairs(max_distance: int = 3) -> str:
+    """All-pairs Hamming filter over the simhash CTE — exact ground
+    truth for the engine's banded LSH because bands > max_distance
+    guarantees exhaustive candidate recall (pigeonhole)."""
+    return f"""
+    WITH sims AS ({_sql_simhash()})
+    SELECT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_distance}
+    """
+
+
+def _sql_deterministic_sample() -> str:
+    from oblate_spark.operators.sampling import _threshold_hex
+
+    default = _threshold_hex(SAMPLE_DEFAULT_FRACTION)
+    whens = " ".join(
+        f"WHEN '{v}' THEN '{_threshold_hex(f)}'"
+        for v, f in sorted(SAMPLE_STRATA.items())
+    )
+    return f"""
+    SELECT doc_id::BIGINT AS doc_id, lang FROM documents
+    WHERE substr(md5(concat_ws(chr(31), '{SAMPLE_SALT}', doc_id::VARCHAR)), 1, 8)
+          < CASE lang {whens} ELSE '{default}' END
     """
 
 
@@ -1568,5 +1723,61 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                        '[A-Z]?[a-z]+|[A-Z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT AS n_subwords
             FROM documents
+        """,
+        # bands > max_distance makes the engine's banded LSH provably
+        # exhaustive, so the all-pairs filter IS its exact ground truth
+        "simhash_near_dup_documents": _sql_simhash_pairs(),
+        "ngram_contamination_documents": f"""
+            WITH grams AS (
+                SELECT doc_id, list_distinct(list_transform(
+                    generate_series(1, len({_TOKENS}) - {NGRAM_CONTAM_N - 1}),
+                    i -> array_to_string(
+                        list_slice({_TOKENS}, i, i + {NGRAM_CONTAM_N - 1}), ' ')
+                )) AS gs
+                FROM documents),
+            bench AS (
+                SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 20 = 0),
+            dg AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+            hits AS (
+                SELECT doc_id, count(*) AS n_c
+                FROM dg JOIN bench USING (g) GROUP BY doc_id)
+            SELECT g.doc_id::BIGINT AS doc_id,
+                   len(g.gs)::BIGINT AS n_grams,
+                   coalesce(h.n_c, 0)::BIGINT AS n_contaminated,
+                   coalesce(h.n_c, 0)::DOUBLE
+                       / greatest(len(g.gs), 1)::DOUBLE AS contamination
+            FROM grams g LEFT JOIN hits h USING (doc_id)
+        """,
+        "pack_sequences_documents": f"""
+            WITH tc AS (
+                SELECT doc_id, len({_TOKENS})::BIGINT AS tokens FROM documents),
+            packed AS (
+                SELECT doc_id, tokens, doc_id % {PACK_SHARDS} AS shard,
+                       coalesce(sum(tokens) OVER (
+                           PARTITION BY doc_id % {PACK_SHARDS} ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS seq_offset
+                FROM tc)
+            SELECT doc_id::BIGINT AS doc_id, tokens::BIGINT AS tokens,
+                   shard::BIGINT AS shard,
+                   floor(seq_offset / {PACK_BUDGET})::BIGINT AS seq_id,
+                   seq_offset::BIGINT AS seq_offset
+            FROM packed
+        """,
+        "deterministic_sample_documents": _sql_deterministic_sample(),
+        "rolling_event_features": f"""
+            WITH e AS (
+                SELECT event_id, user_id, epoch_us(ts) AS t_us,
+                       floor(value * 100)::BIGINT AS cents
+                FROM events WHERE ts IS NOT NULL)
+            SELECT event_id::BIGINT AS event_id, user_id::BIGINT AS user_id,
+                   t_us::BIGINT AS t_us,
+                   (count(*) OVER w)::BIGINT AS w_count,
+                   coalesce(sum(cents) OVER w, 0)::BIGINT AS w_sum_cents,
+                   (max(cents) OVER w)::BIGINT AS w_max_cents
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY t_us
+                         RANGE BETWEEN {ROLLING_WINDOW_SEC * 1_000_000} PRECEDING
+                         AND CURRENT ROW)
         """,
     }

@@ -43,6 +43,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
     "simhash",
+    "simhash_hamming_pairs",
     "embedding_near_duplicates",
     "duplicate_clusters",
     "keep_canonical",
@@ -221,6 +222,73 @@ def simhash(df: DataFrame, *, id_col: str, text_col: str, bits: int = 48) -> Dat
         term = bit * F.lit(2**j).cast("bigint")
         sig = term if sig is None else sig + term
     return wide.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    signatures: DataFrame,
+    *,
+    id_col: str,
+    sig_col: str = "simhash",
+    bits: int = 48,
+    bands: int = 4,
+    max_distance: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance:
+    (id_a, id_b, hamming) with ``hamming <= max_distance``, id_a < id_b.
+
+    Bit-sliced LSH, never all-pairs: each signature is cut into
+    ``bands`` contiguous bit slices; candidates are pairs agreeing
+    EXACTLY on at least one slice (equi-join on (band, slice_value)),
+    and only candidates pay the ``bit_count(xor)`` verification. With
+    ``bands > max_distance`` the result is provably EXHAUSTIVE, not
+    approximate: <= max_distance differing bits spread over > max_distance
+    slices leave at least one slice untouched (pigeonhole), so every
+    qualifying pair is a candidate. The default (4 bands, distance 3)
+    keeps that guarantee.
+
+    Scale: one explode (fan-out = ``bands``), one equi-join on
+    high-cardinality (band, value) buckets — the hot-bucket case is a
+    genuine near-dup cluster, which AQE skew-split handles. Verification
+    is a codegen'd xor+bit_count per candidate. Same shape as
+    ``lsh_candidate_pairs``; signatures come from :func:`simhash`.
+    """
+    if bits % bands:
+        raise ValueError("bands must divide bits")
+    if bands <= max_distance:
+        raise ValueError(
+            "bands must exceed max_distance for exhaustive recall "
+            "(pigeonhole guarantee)"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col(sig_col), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("slice_val"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = signatures.select(
+        F.col(id_col), F.col(sig_col), F.explode(slices).alias("s")
+    ).select(id_col, sig_col, "s.band", "s.slice_val")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col(sig_col).alias("sig_a"), "band", "slice_val"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col(sig_col).alias("sig_b"), "band", "slice_val"
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, on=["band", "slice_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_distance)
+        .distinct()
+    )
 
 
 def embedding_near_duplicates(

@@ -1,0 +1,131 @@
+"""Deterministic sampling and sequence packing for training-data
+pipelines.
+
+Both operators are pure Column expressions built on engine-portable
+primitives (md5, integer window sums), so a SQL oracle reproduces them
+bit-for-bit. Neither uses ``rand()``: reproducibility across reruns,
+engines, and partitionings is the point — a training-data sample that
+changes under AQE re-planning is a bug, not a feature.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["deterministic_sample", "pack_sequences"]
+
+#: hex prefix length used for the keep/drop threshold: 8 nibbles = 32
+#: uniform bits, granularity 2^-32 on the sampling rate.
+_PREFIX = 8
+
+
+def _threshold_hex(fraction: float) -> str:
+    """Largest 8-hex-digit string such that a uniform prefix is below it
+    with probability ``fraction`` (lexicographic compare == numeric
+    compare for fixed-length lowercase hex)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    v = int(round(fraction * (1 << 32)))
+    if v >= 1 << 32:
+        # 2^32 needs 9 hex digits, which would compare LOWER than most
+        # 8-char prefixes lexicographically ('1...' < 'a...'); 'g' sorts
+        # above every hex character, so fraction 1.0 keeps every row
+        return "g"
+    return format(v, "08x")
+
+
+def deterministic_sample(
+    df: DataFrame,
+    *,
+    key_cols: Sequence[str],
+    fraction: float | None = None,
+    strata_fractions: Mapping[str, float] | None = None,
+    strata_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Keep a deterministic pseudo-random ``fraction`` of rows, decided
+    by ``md5(salt || key)`` — the same row is kept on every rerun, on
+    every engine, under any partitioning (unlike ``df.sample``, whose
+    output depends on partition layout and seed plumbing).
+
+    Stratified mode: pass ``strata_col`` + ``strata_fractions``
+    ({stratum_value: fraction}); strata absent from the mapping fall
+    back to ``fraction`` (or 0.0 — dropped — when no global fraction is
+    given). Changing ``salt`` draws an independent sample; nested
+    samples (e.g. 1% ⊂ 10%) come from the SAME salt with smaller
+    fractions — a uniform prefix below the 1% threshold is below the
+    10% one by construction.
+
+    Scale: map-only (one md5 + one string compare per row); the filter
+    sits directly on the scan, no shuffle, no driver state.
+    """
+    if fraction is None and strata_fractions is None:
+        raise ValueError("one of fraction / strata_fractions is required")
+    if (strata_fractions is None) != (strata_col is None):
+        raise ValueError("strata_fractions and strata_col go together")
+    key = F.md5(
+        F.concat_ws("\x1f", F.lit(salt), *[F.col(c).cast("string") for c in key_cols])
+    )
+    prefix = F.substring(key, 1, _PREFIX)
+    if strata_fractions is None:
+        cond = prefix < F.lit(_threshold_hex(fraction))
+    else:
+        default = _threshold_hex(fraction if fraction is not None else 0.0)
+        thr = F.lit(default)
+        for value, frac in sorted(strata_fractions.items()):
+            thr = F.when(
+                F.col(strata_col) == F.lit(value), F.lit(_threshold_hex(frac))
+            ).otherwise(thr)
+        cond = prefix < thr
+    return df.filter(cond)
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    n_shards: int = 1,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Assign documents to fixed token-budget training sequences:
+    (id, tokens, shard, seq_id, seq_offset) — the "concatenate in a
+    deterministic order, cut every ``budget`` tokens" packing used to
+    build LM training examples from variable-length documents.
+
+    ``seq_offset`` is the document's start position in the shard's
+    concatenated token stream modulo nothing — cumulative tokens before
+    it; ``seq_id = floor(seq_offset / budget)``, i.e. the sequence its
+    FIRST token lands in. A document may straddle a boundary (the
+    downstream tokenizer splits it); packing never reorders documents
+    within a shard, so the layout is reproducible byte-for-byte.
+
+    Scale: documents are sharded by ``pmod(hash-free id, n_shards)``
+    (explicit modulus, not hash — oracle-portable) and each shard packs
+    independently — this is how packing distributes at 100 TB: one
+    window sum per shard, shards in parallel, no global sequential
+    state. One shuffle (the window's partitionBy); all arithmetic exact
+    BIGINTs. Deterministic order within a shard = ``order_col`` or
+    ``id_col``.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    order = order_col if order_col is not None else id_col
+    shard = F.pmod(F.col(id_col).cast("bigint"), F.lit(n_shards))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(order), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = F.col(tokens_col).cast("bigint")
+    return (
+        df.select(F.col(id_col), toks.alias("tokens"), shard.alias("shard"))
+        .withColumn("seq_offset", F.sum("tokens").over(w) - F.col("tokens"))
+        .withColumn("seq_id", F.floor(F.col("seq_offset") / F.lit(budget)))
+        .select(id_col, "tokens", "shard", "seq_id", "seq_offset")
+    )

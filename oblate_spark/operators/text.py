@@ -23,6 +23,8 @@ __all__ = [
     "pii_scrub",
     "repetition_signals",
     "tfidf_top_terms",
+    "ngrams_expr",
+    "ngram_contamination",
 ]
 
 #: tiny per-language function-word lists — enough signal for the n-gram
@@ -339,4 +341,84 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(F.col("doc").alias(id_col), "term", "score", "rank")
+    )
+
+
+def ngrams_expr(toks: Column, n: int) -> Column:
+    """Array of space-joined token n-grams (empty when fewer than n
+    tokens). Pure Column expression; an engine with list slicing
+    reproduces it exactly."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination: per document, how many of its distinct
+    token ``n``-grams also appear anywhere in ``benchmark`` —
+    (id, n_grams, n_contaminated, contamination) with
+    contamination = n_contaminated / max(n_grams, 1).
+
+    The standard eval-set leakage check for training corpora (13-gram
+    overlap a la GPT-3/The Pile): a document sharing long n-grams with
+    a benchmark is dropped or flagged before training.
+
+    Scale shape: both sides explode to DISTINCT n-gram keys; the join
+    key is ``md5`` of the gram, bounding shuffle width to 32 bytes
+    regardless of n. The benchmark side collapses to a global distinct
+    gram set (typically millions of rows — eval sets are small; Spark
+    broadcasts it when under the auto threshold, else hash-joins). One
+    explode + one distinct per side, one join, one groupBy(id): no
+    all-pairs, no Python. Counts are exact integers; the fraction is a
+    single IEEE division — oracle-exact.
+    """
+    bench_text_col = text_col if bench_text_col is None else bench_text_col
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(ngrams_expr(tokens_expr(F.col(text_col)), n))
+        ).alias("gram"),
+    ).select(F.col(id_col), F.md5(F.col("gram")).alias("gh"))
+    bench_grams = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(ngrams_expr(tokens_expr(F.col(bench_text_col)), n))
+            ).alias("gram")
+        )
+        .select(F.md5(F.col("gram")).alias("gh"))
+        .distinct()
+    )
+    totals = docs.select(
+        F.col(id_col),
+        F.size(
+            F.array_distinct(ngrams_expr(tokens_expr(F.col(text_col)), n))
+        ).alias("n_grams"),
+    )
+    hits = (
+        doc_grams.join(bench_grams, "gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return totals.join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_grams"),
+        F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("bigint").alias(
+            "n_contaminated"
+        ),
+        (
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("double")
+            / F.greatest(F.col("n_grams"), F.lit(1)).cast("double")
+        ).alias("contamination"),
     )

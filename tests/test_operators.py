@@ -611,3 +611,163 @@ def test_interval_join_containment_semantics(spark):
     with pytest.raises(ValueError):
         interval_join(points, ivs, point_time="ts", start_col="s",
                       end_col="e", grain_seconds=0)
+
+
+def test_simhash_hamming_pairs(spark):
+    """Banded Hamming LSH: exhaustive under bands > max_distance —
+    including the worst case of max_distance bits spread over distinct
+    bands — and candidate pairs beyond the distance are filtered."""
+    from oblate_spark.operators.dedup import simhash_hamming_pairs
+
+    base = 0b1010_1100_0011_0101_1111_0000_1100_0011_0101_1010_0110_1001
+    rows = [
+        (1, base),
+        (2, base ^ 0b1),                      # hamming 1 (band 0)
+        # 3 flipped bits, one in each of bands 0,1,2 — the pigeonhole
+        # worst case: no single flip-free pair of bands, but band 3
+        # is intact so the pair MUST still surface
+        (3, base ^ (1 << 0) ^ (1 << 12) ^ (1 << 24)),
+        (4, base ^ 0b1111),                   # hamming 4: beyond cutoff
+        (5, 0),                               # far away from everything
+    ]
+    sigs = spark.createDataFrame(rows, "doc_id long, simhash long")
+    out = simhash_hamming_pairs(
+        sigs, id_col="doc_id", bits=48, bands=4, max_distance=3
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == 3
+    assert got[(2, 3)] == 4 - 2  # bits 0 cancels: flips {12,24} remain
+    assert (1, 4) not in got and (1, 5) not in got
+    with pytest.raises(ValueError):
+        simhash_hamming_pairs(sigs, id_col="doc_id", bits=48, bands=5)
+    with pytest.raises(ValueError):
+        simhash_hamming_pairs(
+            sigs, id_col="doc_id", bits=48, bands=3, max_distance=3
+        )
+
+
+def test_ngram_contamination(spark):
+    from oblate_spark.operators.text import ngram_contamination
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),        # grams(2): ab bc cd de
+            (2, "c d x y"),          # grams: cd dx xy -> only cd hits
+            (3, "zz"),               # < n tokens: no grams
+            (4, "q r q r q r"),      # repeated grams collapse (distinct)
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a b c d"), (101, "q r")], "bid long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ngram_contamination(
+            docs, bench, id_col="doc_id", text_col="text", n=2
+        ).collect()
+    }
+    assert (out[1]["n_grams"], out[1]["n_contaminated"]) == (4, 3)
+    assert out[1]["contamination"] == 3 / 4
+    assert (out[2]["n_grams"], out[2]["n_contaminated"]) == (3, 1)
+    assert (out[3]["n_grams"], out[3]["n_contaminated"]) == (0, 0)
+    assert out[3]["contamination"] == 0.0
+    # "q r q r q r" -> distinct grams {qr, rq}; bench has only "q r"
+    assert (out[4]["n_grams"], out[4]["n_contaminated"]) == (2, 1)
+
+
+def test_pack_sequences(spark):
+    from oblate_spark.operators.sampling import pack_sequences
+
+    rows = [(i, 60) for i in range(8)]  # 8 docs x 60 tokens
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(
+        df, id_col="doc_id", tokens_col="n_tokens", budget=100, n_shards=2
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    # shard 0: docs 0,2,4,6 at offsets 0,60,120,180 -> seqs 0,0,1,1
+    for doc, (off, seq) in {0: (0, 0), 2: (60, 0), 4: (120, 1), 6: (180, 1)}.items():
+        assert (got[doc]["shard"], got[doc]["seq_offset"], got[doc]["seq_id"]) == (
+            0, off, seq,
+        ), doc
+    assert got[1]["shard"] == 1 and got[1]["seq_offset"] == 0
+    with pytest.raises(ValueError):
+        pack_sequences(df, id_col="doc_id", tokens_col="n_tokens", budget=0)
+    with pytest.raises(ValueError):
+        pack_sequences(
+            df, id_col="doc_id", tokens_col="n_tokens", budget=10, n_shards=0
+        )
+
+
+def test_deterministic_sample(spark):
+    from oblate_spark.operators.sampling import deterministic_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(400)], "k long, lang string"
+    )
+    small = deterministic_sample(df, key_cols=["k"], fraction=0.1, salt="s")
+    big = deterministic_sample(df, key_cols=["k"], fraction=0.5, salt="s")
+    ks, kb = {r["k"] for r in small.collect()}, {r["k"] for r in big.collect()}
+    assert ks <= kb, "same-salt samples must nest"
+    assert ks == {r["k"] for r in small.collect()}, "rerun must be identical"
+    assert 0.03 < len(ks) / 400 < 0.22 and 0.35 < len(kb) / 400 < 0.65
+    strat = deterministic_sample(
+        df, key_cols=["k"], strata_col="lang",
+        strata_fractions={"en": 1.0, "de": 0.0}, salt="s",
+    )
+    langs = {r["lang"] for r in strat.collect()}
+    assert langs == {"en"}  # de fully dropped, en fully kept
+    assert strat.count() == 200
+    with pytest.raises(ValueError):
+        deterministic_sample(df, key_cols=["k"])
+    with pytest.raises(ValueError):
+        deterministic_sample(df, key_cols=["k"], strata_fractions={"en": 0.5})
+    with pytest.raises(ValueError):
+        deterministic_sample(df, key_cols=["k"], fraction=1.5)
+
+
+def test_rolling_event_features(spark):
+    from oblate_spark.operators.features import rolling_event_features
+
+    rows = [
+        (1, 10, "2024-01-01 00:00:00", 1.0),
+        (2, 10, "2024-01-01 00:30:00", 2.5),
+        (3, 10, "2024-01-01 01:00:00", None),   # null value still counted
+        (4, 10, "2024-01-01 02:30:00", 4.0),    # window has only itself
+        (5, 10, "2024-01-01 02:30:00", 6.0),    # equal-ts peer: same frame
+        (6, 20, "2024-01-01 00:30:00", 9.0),    # other user untouched
+        (7, 20, None, 1.0),                      # null ts dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["event_id"]: r
+        for r in rolling_event_features(
+            df, key_cols=["user_id"], time_col="ts",
+            value_col="value", window_seconds=3600,
+        ).collect()
+    }
+    assert len(out) == 6  # event 7 dropped
+    assert (out[1]["w_count"], out[1]["w_sum_cents"]) == (1, 100)
+    assert (out[2]["w_count"], out[2]["w_sum_cents"]) == (2, 350)
+    # event 3: frame covers events 1,2,3 (exactly 1h back, inclusive)
+    assert (out[3]["w_count"], out[3]["w_sum_cents"], out[3]["w_max_cents"]) == (
+        3, 350, 250,
+    )
+    # equal-ts peers share the identical frame (RANGE semantics)
+    for e in (4, 5):
+        assert (out[e]["w_count"], out[e]["w_sum_cents"], out[e]["w_max_cents"]) == (
+            2, 1000, 600,
+        )
+    assert out[6]["w_count"] == 1
+    with pytest.raises(ValueError):
+        rolling_event_features(
+            df, key_cols=[], time_col="ts", value_col="value", window_seconds=60
+        )
+    with pytest.raises(ValueError):
+        rolling_event_features(
+            df, key_cols=["user_id"], time_col="ts",
+            value_col="value", window_seconds=0,
+        )

@@ -418,3 +418,77 @@ def test_interval_join_is_equi_join_not_nested_loop(spark):
         assert "EvalPython" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_simhash_pairs_equi_join_no_cartesian(spark):
+    """Hamming near-dup must join on the (band, slice) buckets — an
+    equi join — never the all-pairs Cartesian the oracle uses."""
+    import re
+
+    from oblate_spark.operators.dedup import simhash_hamming_pairs
+
+    sigs = spark.createDataFrame(
+        [(i, i * 7919) for i in range(100)], "doc_id long, simhash long"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = simhash_hamming_pairs(sigs, id_col="doc_id")
+        plan = plan_of(out)
+        nodes = [l.strip() for l in plan.splitlines() if re.match(r"^\s*\(\d+\)", l)]
+        assert not any("NestedLoop" in n or "Cartesian" in n for n in nodes), nodes
+        assert any("SortMergeJoin" in n or "ShuffledHashJoin" in n for n in nodes)
+        assert "EvalPython" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_deterministic_sample_is_map_only(spark):
+    """The hash-threshold sampler must stay a scan-side filter: zero
+    Exchanges, zero Python — it is the thing you run FIRST on 100 TB."""
+    from oblate_spark.operators.sampling import deterministic_sample
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = deterministic_sample(df, key_cols=["doc_id"], fraction=0.25, salt="x")
+    plan = plan_of(out)
+    assert "Exchange" not in plan, plan[:3000]
+    assert "EvalPython" not in plan
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Packing = one Exchange (the window's partitionBy on shard); the
+    running sum must not add a second shuffle or a Python stage."""
+    from oblate_spark.operators.sampling import pack_sequences
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", F.col("n_chars").alias("n_tokens")
+    )
+    import re
+
+    out = pack_sequences(
+        df, id_col="doc_id", tokens_col="n_tokens", budget=512, n_shards=8
+    )
+    plan = plan_of(out)
+    nodes = [l.strip() for l in plan.splitlines() if re.match(r"^\s*\(\d+\)", l)]
+    assert sum(bool(re.match(r"\(\d+\) Exchange", n)) for n in nodes) == 1, nodes
+    assert "EvalPython" not in plan
+
+
+def test_rolling_features_single_shuffle_one_window(spark):
+    """Range-frame features: one Exchange on the key, one Window node,
+    no self-join (the naive formulation), no Python."""
+    import re
+
+    from oblate_spark.operators.features import rolling_event_features
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = rolling_event_features(
+        ev, key_cols=["user_id"], time_col="ts",
+        value_col="value", window_seconds=3600,
+    )
+    plan = plan_of(out)
+    nodes = [l.strip() for l in plan.splitlines() if re.match(r"^\s*\(\d+\)", l)]
+    assert sum(bool(re.match(r"\(\d+\) Exchange", n)) for n in nodes) == 1, nodes
+    assert sum(bool(re.match(r"\(\d+\) Window", n)) for n in nodes) == 1, nodes
+    assert not any("Join" in n for n in nodes), nodes
+    assert "EvalPython" not in plan
