@@ -810,6 +810,29 @@ def q_deterministic_sample_documents(spark: SparkSession, sf_dir: str) -> DataFr
     return out.select(F.col("doc_id").cast("bigint").alias("doc_id"), "lang")
 
 
+MIXTURE_WEIGHTS = {"en": 0.4, "de": 0.3, "es": 0.3}
+MIXTURE_SALT = "mix5"
+
+
+def q_mixture_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture rebalance: downsample abundant languages so the
+    kept set is 40% en / 30% de / 30% es (other langs dropped). The
+    per-stratum thresholds derive from one bounded groupBy-count; the
+    oracle recomputes them with the identical fixed-order double math
+    and printf('%08x') hexing."""
+    from oblate_spark.operators.sampling import mixture_sample
+
+    d = _read(spark, sf_dir, "documents")
+    out = mixture_sample(
+        d,
+        key_cols=["doc_id"],
+        strata_col="lang",
+        target_weights=MIXTURE_WEIGHTS,
+        salt=MIXTURE_SALT,
+    )
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"), "lang")
+
+
 ROLLING_WINDOW_SEC = 3600
 
 
@@ -1002,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_contamination_documents": q_ngram_contamination_documents,
         "pack_sequences_documents": q_pack_sequences_documents,
         "deterministic_sample_documents": q_deterministic_sample_documents,
+        "mixture_sample_documents": q_mixture_sample_documents,
         "rolling_event_features": q_rolling_event_features,
     }
 
@@ -1103,6 +1127,30 @@ def _sql_deterministic_sample() -> str:
     SELECT doc_id::BIGINT AS doc_id, lang FROM documents
     WHERE substr(md5(concat_ws(chr(31), '{SAMPLE_SALT}', doc_id::VARCHAR)), 1, 8)
           < CASE lang {whens} ELSE '{default}' END
+    """
+
+
+def _sql_mixture_sample() -> str:
+    """Recompute the engine's mixture thresholds from the same counts
+    with the IDENTICAL fixed-order double expression
+    (((w * t) / c) * total_fraction) * 2^32 — bit-exact, then hex via
+    printf('%08x') which matches Python's format(v, '08x')."""
+    langs = ", ".join(f"'{s}'" for s in sorted(MIXTURE_WEIGHTS))
+    wcase = " ".join(
+        f"WHEN '{s}' THEN {w!r}::DOUBLE" for s, w in sorted(MIXTURE_WEIGHTS.items())
+    )
+    return f"""
+    WITH cnt AS (
+        SELECT lang, count(*)::DOUBLE AS c, CASE lang {wcase} END AS w
+        FROM documents WHERE lang IN ({langs}) GROUP BY lang),
+    cap AS (SELECT min(c / w) AS t FROM cnt),
+    thr AS (
+        SELECT lang, floor((((w * t) / c) * 1.0) * 4294967296.0) AS v
+        FROM cnt, cap)
+    SELECT d.doc_id::BIGINT AS doc_id, d.lang
+    FROM documents d JOIN thr USING (lang)
+    WHERE substr(md5(concat_ws(chr(31), '{MIXTURE_SALT}', d.doc_id::VARCHAR)), 1, 8)
+          < CASE WHEN v >= 4294967296 THEN 'g' ELSE printf('%08x', v::BIGINT) END
     """
 
 
@@ -1765,6 +1813,7 @@ def oracle_sql() -> dict[str, str]:
             FROM packed
         """,
         "deterministic_sample_documents": _sql_deterministic_sample(),
+        "mixture_sample_documents": _sql_mixture_sample(),
         "rolling_event_features": f"""
             WITH e AS (
                 SELECT event_id, user_id, epoch_us(ts) AS t_us,

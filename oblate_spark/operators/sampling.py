@@ -10,11 +10,12 @@ changes under AQE re-planning is a bug, not a feature.
 
 from __future__ import annotations
 
+import math
 from typing import Mapping, Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["deterministic_sample", "pack_sequences"]
+__all__ = ["deterministic_sample", "mixture_sample", "pack_sequences"]
 
 #: hex prefix length used for the keep/drop threshold: 8 nibbles = 32
 #: uniform bits, granularity 2^-32 on the sampling rate.
@@ -129,3 +130,72 @@ def pack_sequences(
         .withColumn("seq_id", F.floor(F.col("seq_offset") / F.lit(budget)))
         .select(id_col, "tokens", "shard", "seq_id", "seq_offset")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    *,
+    key_cols: Sequence[str],
+    strata_col: str,
+    target_weights: Mapping[str, float],
+    total_fraction: float = 1.0,
+    salt: str = "",
+    counts: Mapping[str, int] | None = None,
+) -> DataFrame:
+    """Rebalance a corpus to a target mixture: keep a deterministic
+    subset in which stratum ``s`` contributes ``target_weights[s]`` of
+    the output (corpus curation's "40% web / 30% books / 30% code"
+    knob). Strata absent from ``target_weights`` are dropped.
+
+    Without duplication the largest achievable output is capped by the
+    scarcest stratum: ``T = min_s(count_s / w_s)``; each stratum then
+    keeps ``fraction_s = w_s * T / count_s * total_fraction`` of its
+    rows — the scarcest stratum keeps everything (at total_fraction=1),
+    abundant strata are downsampled to match. Row selection reuses the
+    :func:`deterministic_sample` md5-threshold machinery, so the output
+    is reproducible across engines, reruns and partitionings, and
+    nested in itself across ``total_fraction`` values at the same salt.
+
+    ``counts`` lets callers pass known stratum counts; otherwise ONE
+    ``groupBy(strata).count()`` pass collects them (bounded driver
+    collect: #strata rows — the mixture spec is human-written and
+    small). Threshold arithmetic is fixed-order IEEE double math
+    (documented in the expression below), so a SQL oracle recomputing
+    it from the same counts lands on bit-identical thresholds. The
+    filter itself is map-only: one md5 + CASE per row on the scan.
+    """
+    if not target_weights:
+        raise ValueError("target_weights must be non-empty")
+    if not 0.0 < total_fraction <= 1.0:
+        raise ValueError(f"total_fraction must be in (0, 1], got {total_fraction}")
+    for s, w in target_weights.items():
+        if w <= 0:
+            raise ValueError(f"weight for {s!r} must be positive, got {w}")
+    if counts is None:
+        rows = (
+            df.filter(F.col(strata_col).isin(*target_weights))
+            .groupBy(strata_col)
+            .count()
+            .collect()
+        )  # bounded: one row per stratum in the (human-sized) mixture spec
+        counts = {r[strata_col]: r["count"] for r in rows}
+    missing = sorted(set(target_weights) - set(counts))
+    if missing:
+        raise ValueError(f"strata absent from input: {missing}")
+    # fixed operation order, mirrored verbatim by SQL oracles:
+    #   cap_s = c_s / w_s ;  T = min(cap_s)
+    #   v_s   = floor((((w_s * T) / c_s) * total_fraction) * 2^32)
+    caps = {s: float(counts[s]) / target_weights[s] for s in target_weights}
+    t_total = min(caps.values())
+    thr = F.lit(None).cast("string")
+    for s in sorted(target_weights):
+        v = math.floor(
+            (((target_weights[s] * t_total) / float(counts[s])) * total_fraction)
+            * 4294967296.0
+        )
+        h = "g" if v >= 1 << 32 else format(v, "08x")
+        thr = F.when(F.col(strata_col) == F.lit(s), F.lit(h)).otherwise(thr)
+    key = F.md5(
+        F.concat_ws("\x1f", F.lit(salt), *[F.col(c).cast("string") for c in key_cols])
+    )
+    return df.filter(F.substring(key, 1, _PREFIX) < thr)

@@ -771,3 +771,46 @@ def test_rolling_event_features(spark):
             df, key_cols=["user_id"], time_col="ts",
             value_col="value", window_seconds=0,
         )
+
+
+def test_mixture_sample(spark):
+    """Mixture rebalance: scarcest stratum fully kept (it caps T), the
+    abundant one downsampled toward the target ratio; drop unlisted
+    strata; explicit counts must match the self-counted path."""
+    from oblate_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "web") for i in range(900)] + [
+        (1000 + i, "books") for i in range(100)
+    ] + [(2000 + i, "junk") for i in range(50)]
+    df = spark.createDataFrame(rows, "k long, src string")
+    out = mixture_sample(
+        df, key_cols=["k"], strata_col="src",
+        target_weights={"web": 0.5, "books": 0.5}, salt="m",
+    )
+    got = out.groupBy("src").count().collect()
+    by = {r["src"]: r["count"] for r in got}
+    # T = min(900/.5, 100/.5) = 200 -> books keeps all 100, web ~100
+    assert "junk" not in by
+    assert by["books"] == 100
+    assert 70 <= by["web"] <= 130, by
+    # passing the true counts must give the identical sample
+    out2 = mixture_sample(
+        df, key_cols=["k"], strata_col="src",
+        target_weights={"web": 0.5, "books": 0.5}, salt="m",
+        counts={"web": 900, "books": 100},
+    )
+    assert sorted(r["k"] for r in out.collect()) == sorted(
+        r["k"] for r in out2.collect()
+    )
+    with pytest.raises(ValueError):
+        mixture_sample(df, key_cols=["k"], strata_col="src", target_weights={})
+    with pytest.raises(ValueError):
+        mixture_sample(
+            df, key_cols=["k"], strata_col="src",
+            target_weights={"web": 0.5}, total_fraction=0.0,
+        )
+    with pytest.raises(ValueError):
+        mixture_sample(
+            df, key_cols=["k"], strata_col="src",
+            target_weights={"web": 1.0, "absent": 1.0},
+        )
