@@ -810,6 +810,25 @@ def q_deterministic_sample_documents(spark: SparkSession, sf_dir: str) -> DataFr
     return out.select(F.col("doc_id").cast("bigint").alias("doc_id"), "lang")
 
 
+def q_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-dedup contract made oracle-visible: first click per
+    user via the streaming fold kernel replayed over 4 time-ordered
+    microbatch slices with state carried across boundaries. Without
+    retention the result is split-invariant and equals SQL's
+    row_number()=1 — which is exactly what the oracle asserts."""
+    from oblate_spark.streaming.dedup_stream import replay_dedup_batched
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    out = replay_dedup_batched(
+        ev, key_col="user_id", id_col="event_id", ts_col="ts", n_batches=4
+    )
+    return out.select(
+        F.col("key").cast("bigint").alias("user_id"),
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("first_us").cast("bigint").alias("first_us"),
+    )
+
+
 MIXTURE_WEIGHTS = {"en": 0.4, "de": 0.3, "es": 0.3}
 MIXTURE_SALT = "mix5"
 
@@ -1027,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample_documents": q_deterministic_sample_documents,
         "mixture_sample_documents": q_mixture_sample_documents,
         "rolling_event_features": q_rolling_event_features,
+        "dedup_stream_replay": q_dedup_stream_replay,
     }
 
 
@@ -1814,6 +1834,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "deterministic_sample_documents": _sql_deterministic_sample(),
         "mixture_sample_documents": _sql_mixture_sample(),
+        "dedup_stream_replay": """
+            WITH c AS (
+                SELECT user_id, event_id, epoch_us(ts) AS us
+                FROM events WHERE event_type = 'click'),
+            r AS (
+                SELECT user_id, event_id, us,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY us, event_id) AS rn
+                FROM c)
+            SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS event_id,
+                   us::BIGINT AS first_us
+            FROM r WHERE rn = 1
+        """,
         "rolling_event_features": f"""
             WITH e AS (
                 SELECT event_id, user_id, epoch_us(ts) AS t_us,

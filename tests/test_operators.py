@@ -814,3 +814,58 @@ def test_mixture_sample(spark):
             df, key_cols=["k"], strata_col="src",
             target_weights={"web": 1.0, "absent": 1.0},
         )
+
+
+def test_threshold_hex_properties():
+    """Pure property check on the sampling threshold: monotone in the
+    fraction, 8 lowercase hex chars below 1.0, 'g' sentinel at 1.0 (the
+    round-4 boundary bug: 2^32 formats to NINE hex chars, which
+    compares below most 8-char prefixes)."""
+    from hypothesis import given, strategies as st
+
+    from oblate_spark.operators.sampling import _threshold_hex
+
+    assert _threshold_hex(0.0) == "00000000"
+    assert _threshold_hex(1.0) == "g"
+    assert _threshold_hex(0.5) == "80000000"
+    assert all(t < "g" for t in (_threshold_hex(0.0), _threshold_hex(0.999999)))
+
+    @given(
+        st.floats(min_value=0.0, max_value=1.0),
+        st.floats(min_value=0.0, max_value=1.0),
+    )
+    def monotone(a, b):
+        lo, hi = sorted((a, b))
+        assert _threshold_hex(lo) <= _threshold_hex(hi)
+        t = _threshold_hex(lo)
+        assert t == "g" or (len(t) == 8 and t == t.lower())
+
+    monotone()
+
+
+def test_image_phash_near_dup_composition(spark):
+    """Axis A x dedup-stack composition: the image payload kernel's
+    recomputed 64-bit pHash (signed BIGINT) feeds simhash_hamming_pairs
+    directly — near-duplicate IMAGE detection with no all-pairs stage.
+    The band slicing is two's-complement-safe (shiftright + mask), so
+    negative phashes band correctly. The fixture plants content-identical
+    dup_phash pairs (slots 15&16, 17&18, ... per 1000-block), which must
+    surface as hamming-0 pairs."""
+    from oblate_spark import fixtures
+    from oblate_spark.operators.dedup import simhash_hamming_pairs
+    from oblate_spark.operators.images import image_payload_report
+
+    images = fixtures.build_images_df(spark, 400)
+    rep = image_payload_report(images).filter(F.col("decode_ok"))
+    sigs = rep.select("image_id", F.col("phash_actual").alias("sig"))
+    pairs = simhash_hamming_pairs(
+        sigs, id_col="image_id", sig_col="sig",
+        bits=64, bands=4, max_distance=2,
+    ).collect()
+    exact = {
+        (p["id_a"], p["id_b"]) for p in pairs if p["hamming"] == 0
+    }
+    # dup_phash slots: (15,16), (17,18), (19,20), (21,22), (23,24)
+    for a, b in [(15, 16), (17, 18), (19, 20), (21, 22), (23, 24)]:
+        assert (f"img_{a:012d}", f"img_{b:012d}") in exact, (a, b, exact)
+    assert all(p["hamming"] <= 2 for p in pairs)

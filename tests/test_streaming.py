@@ -520,3 +520,105 @@ def test_replay_sessions_batched_matches_batch_twin(spark):
     empty = replay_sessions_batched(ev.limit(0), n_batches=4)
     assert empty.count() == 0
     assert empty.schema["n_events"].dataType.simpleString() == "bigint"
+
+
+def test_fold_first_seen_split_invariance():
+    """Pure kernel property: without retention, any time-ordered split
+    of a key's rows emits exactly the global minimum once; with
+    retention, a gap past the horizon re-emits."""
+    from hypothesis import given, strategies as st
+
+    from oblate_spark.streaming.dedup_stream import fold_first_seen
+
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 10_000), st.integers(0, 100)), max_size=30
+        ),
+        st.integers(1, 5),
+    )
+    def invariant(rows, n_batches):
+        rows = sorted(rows)
+        # contiguous time-ordered split into n_batches chunks
+        per = max(1, (len(rows) + n_batches - 1) // n_batches)
+        state, emitted = None, []
+        for i in range(0, max(len(rows), 1), per):
+            em, state = fold_first_seen(state, rows[i : i + per])
+            emitted.extend(em)
+        if rows:
+            assert emitted == [min(rows)]
+        else:
+            assert emitted == []
+
+    invariant()
+
+    # retention: second sighting past the horizon re-emits
+    em1, st1 = fold_first_seen(None, [(0, 1)], retention_us=100)
+    em2, st2 = fold_first_seen(st1, [(50, 2)], retention_us=100)
+    em3, st3 = fold_first_seen(st2, [(500, 3)], retention_us=100)
+    assert em1 == [(0, 1)] and em2 == [] and em3 == [(500, 3)]
+    assert st3 == (500, 3)
+
+
+def test_dedup_stream_replay_matches_batch(spark):
+    """Replay over K slices == plain first-row-per-key, and the key
+    column keeps the input dtype (the round-4 replay lesson)."""
+    from pyspark.sql import functions as F
+    from oblate_spark.streaming.dedup_stream import replay_dedup_batched
+
+    ev = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 00:05:00"),
+            (2, 10, "2024-01-01 00:01:00"),   # earliest for key 10
+            (3, 10, "2024-01-02 09:00:00"),
+            (4, 20, "2024-01-03 00:00:00"),
+            (5, 20, "2024-01-03 00:00:00"),   # ts tie -> min event_id
+        ],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    for k in (1, 3, 5):
+        out = replay_dedup_batched(
+            ev, key_col="user_id", id_col="event_id", ts_col="ts", n_batches=k
+        )
+        assert dict(out.dtypes)["key"] == "bigint"
+        got = sorted((r["key"], r["event_id"]) for r in out.collect())
+        assert got == [(10, 2), (20, 4)], (k, got)
+
+
+def test_dedup_stream_stateful(spark, tmp_path):
+    """Streaming first-occurrence dedup: state persists across
+    microbatches (a later file's duplicate is dropped), new keys in
+    later files emit."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from oblate_spark.streaming.dedup_stream import dedup_stream
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    f1 = spark.createDataFrame(
+        [("A", 1, "2024-01-01 10:00:00"), ("B", 2, "2024-01-01 10:01:00")],
+        "k string, event_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    f2 = spark.createDataFrame(
+        [("A", 3, "2024-01-01 11:00:00"), ("C", 4, "2024-01-01 11:01:00")],
+        "k string, event_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    f1.coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+    f2.coalesce(1).write.mode("overwrite").parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema("k string, event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    out = dedup_stream(stream, key_col="k", id_col="event_id", ts_col="ts")
+    name = f"dedup_{int(_time.time()*1000) % 10_000_000}"
+    q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+    finally:
+        q.stop()
+    got = sorted((r["key"], r["event_id"]) for r in rows)
+    # A's file-2 duplicate dropped by carried state; B and C emitted once
+    assert got == [("A", 1), ("B", 2), ("C", 4)], got
