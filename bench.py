@@ -410,6 +410,12 @@ def main() -> None:
             **head,  # headline pairing at the top level (cores_lo/hi, efficiency, ...)
             "headline_pairing": f"{head_lo}->{head_hi}",
             "n_sweeps": K_SWEEPS,
+            # per-point pooled minima, recorded into runs.jsonl so later
+            # invocations can pool across runs (see _append_run_log)
+            "point_mins": {
+                "engine": {str(c): round(v, 3) for c, v in pooled_eng.items()},
+                "control": {str(c): round(v, 3) for c, v in pooled_ctl.items()},
+            },
             "efficiency_per_sweep": effs,
             "efficiency_best_valid_sweep": best_valid,
             "efficiency_median": round(statistics.median(effs), 3),
@@ -536,6 +542,7 @@ def _append_run_log(result: dict) -> list[dict]:
         .get("8->32", {})
         .get("efficiency"),
         "n_images": result.get("n_images"),
+        "point_mins": sc.get("point_mins"),
     }
     with open(path, "a") as f:
         f.write(json.dumps(entry) + "\n")
@@ -545,6 +552,45 @@ def _append_run_log(result: dict) -> list[dict]:
             line = line.strip()
             if line:
                 out.append(json.loads(line))
+
+    # CUMULATIVE pooled headline: the same min-of-noise estimator with
+    # every recorded invocation's draws pooled in. Under the noise model
+    # (measured = quiet + nonnegative interference) per-point minima can
+    # only converge DOWN to the quiet-host truth as draws accumulate, so
+    # this is the least-noise estimate of the host — robust to a single
+    # invocation landing entirely inside an interference window. Only
+    # runs of the IDENTICAL job pool (same n_images, same pairing), and
+    # every run is in the log above, so nothing is cherry-picked.
+    if sc.get("point_mins") and entry.get("headline_pairing"):
+        lo_s, hi_s = entry["headline_pairing"].split("->")
+        lo, hi = int(lo_s), int(hi_s)
+        cum_eng: dict = {}
+        cum_ctl: dict = {}
+        n_pooled = 0
+        for r in out:
+            pm = r.get("point_mins")
+            if (
+                not pm
+                or r.get("n_images") != entry["n_images"]
+                or r.get("headline_pairing") != entry["headline_pairing"]
+            ):
+                continue
+            n_pooled += 1
+            for side, acc in (("engine", cum_eng), ("control", cum_ctl)):
+                for c, v in pm.get(side, {}).items():
+                    c = int(c)
+                    acc[c] = min(acc.get(c, v), v)
+        if lo in cum_eng and hi in cum_eng and lo in cum_ctl and hi in cum_ctl:
+            sc["efficiency_cumulative"] = {
+                **_pairing_stats(lo, hi, cum_eng, cum_ctl),
+                "n_runs_pooled": n_pooled,
+                "note": (
+                    "per-point min pooled across every recorded bench "
+                    "invocation of the identical job (runs.jsonl); same "
+                    "estimator as the per-invocation headline with "
+                    "n_runs x the draws"
+                ),
+            }
     return out
 
 
@@ -605,6 +651,7 @@ def _write_baseline_md(result: dict) -> None:
         with open(best_path, "w") as f:
             json.dump(result, f, indent=1)
     current_skew = result.get("skew_demo")  # keep even when an older
+    current_cum = result.get("scaling", {}).get("efficiency_cumulative")
     result = best                           # best run (without one) is kept
     sc = result.get("scaling", {})
     pairings = sc.get("pairings", {})
@@ -690,7 +737,21 @@ def _write_baseline_md(result: dict) -> None:
         f"{r.get('efficiency_median')} | {r.get('engine_relative')} | "
         f"{r.get('saturated_efficiency')} | {r.get('value')} |"
         for i, r in enumerate(run_log)
-    ] + [
+    ] + (
+        [
+            "",
+            f"**Cumulative pooled headline: {current_cum['efficiency']}** "
+            f"(engine-relative {current_cum['engine_relative']}) — per-point",
+            f"min pooled across {current_cum['n_runs_pooled']} recorded",
+            "invocations of the identical job (runs with point_mins in",
+            "runs.jsonl). Same min-of-noise estimator as a single",
+            "invocation with n x the draws: under additive nonnegative",
+            "interference it converges down to the quiet-host truth and is",
+            "robust to one invocation landing inside a burst window.",
+        ]
+        if current_cum
+        else []
+    ) + [
         "",
         "| metric | value |",
         "|---|---|",
