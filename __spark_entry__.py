@@ -829,6 +829,64 @@ def q_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DUP_SHINGLE_N = 6  # tiny vocabulary: 6-grams separate planted dups from chance
+CHUNK_TOKENS, CHUNK_STRIDE = 16, 12  # docs are ~30-40 tokens -> 3-4 chunks
+
+
+def q_dup_shingle_fraction_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-shingle fraction (RefinedWeb/Gopher
+    dups_frac): share of each doc's distinct 6-gram shingles that occur
+    in >= 1 other document. Exact BIGINT ratio — hash-exact oracle."""
+    from oblate_spark.operators.text import dup_shingle_fraction
+
+    d = _read(spark, sf_dir, "documents")
+    return dup_shingle_fraction(
+        d, id_col="doc_id", text_col="text", n=DUP_SHINGLE_N
+    ).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_shingles",
+        "n_dup",
+        "dup_fraction",
+    )
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token LM training windows with overlap (chunk 16, stride
+    12): map-only explode+slice, zero shuffles. The chunk text itself is
+    in the output, so the oracle hash pins the exact window contents."""
+    from oblate_spark.operators.text import chunk_documents
+
+    d = _read(spark, sf_dir, "documents")
+    return chunk_documents(
+        d,
+        id_col="doc_id",
+        text_col="text",
+        chunk_tokens=CHUNK_TOKENS,
+        stride=CHUNK_STRIDE,
+    ).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "chunk_id",
+        "chunk_text",
+        "n_tokens",
+    )
+
+
+def q_label_centroids_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids in exact integer arithmetic
+    (floor-quantized micro-components, BIGINT sums, one double division)
+    — float avg() could never hash-match across engines; this does."""
+    from oblate_spark.operators.similarity import label_centroids
+
+    e = _read(spark, sf_dir, "embeddings")
+    return label_centroids(e, vec_col="embedding", label_col="label").select(
+        F.col("label").cast("int").alias("label"),
+        "dim",
+        "sum_q",
+        F.col("n").cast("bigint").alias("n"),
+        "centroid",
+    )
+
+
 MIXTURE_WEIGHTS = {"en": 0.4, "de": 0.3, "es": 0.3}
 MIXTURE_SALT = "mix5"
 
@@ -1047,6 +1105,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample_documents": q_mixture_sample_documents,
         "rolling_event_features": q_rolling_event_features,
         "dedup_stream_replay": q_dedup_stream_replay,
+        "dup_shingle_fraction_documents": q_dup_shingle_fraction_documents,
+        "chunk_documents": q_chunk_documents,
+        "label_centroids_embeddings": q_label_centroids_embeddings,
     }
 
 
@@ -1834,6 +1895,62 @@ def oracle_sql() -> dict[str, str]:
         """,
         "deterministic_sample_documents": _sql_deterministic_sample(),
         "mixture_sample_documents": _sql_mixture_sample(),
+        "dup_shingle_fraction_documents": f"""
+            WITH grams AS (
+                SELECT doc_id, list_distinct(list_transform(
+                    generate_series(1, len({_TOKENS}) - {DUP_SHINGLE_N - 1}),
+                    i -> array_to_string(
+                        list_slice({_TOKENS}, i, i + {DUP_SHINGLE_N - 1}), ' ')
+                )) AS gs
+                FROM documents),
+            dg AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+            dfreq AS (SELECT g, count(*) AS df_docs FROM dg GROUP BY g),
+            per AS (
+                SELECT doc_id, count(*) AS n_shingles,
+                       sum(CASE WHEN df_docs >= 2 THEN 1 ELSE 0 END) AS n_dup
+                FROM dg JOIN dfreq USING (g) GROUP BY doc_id)
+            SELECT d.doc_id::BIGINT AS doc_id,
+                   coalesce(p.n_shingles, 0)::BIGINT AS n_shingles,
+                   coalesce(p.n_dup, 0)::BIGINT AS n_dup,
+                   coalesce(p.n_dup, 0)::DOUBLE
+                       / greatest(coalesce(p.n_shingles, 0), 1)::DOUBLE
+                       AS dup_fraction
+            FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
+        "chunk_documents": f"""
+            WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            c AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(
+                           0, (len(toks) - 1) // {CHUNK_STRIDE})) AS chunk_id
+                FROM t WHERE len(toks) > 0)
+            SELECT doc_id::BIGINT AS doc_id,
+                   chunk_id::INT AS chunk_id,
+                   array_to_string(list_slice(
+                       toks, chunk_id * {CHUNK_STRIDE} + 1,
+                       chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ')
+                       AS chunk_text,
+                   len(list_slice(
+                       toks, chunk_id * {CHUNK_STRIDE} + 1,
+                       chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}))::BIGINT
+                       AS n_tokens
+            FROM c
+        """,
+        "label_centroids_embeddings": """
+            WITH ex AS (
+                SELECT label,
+                       unnest(range(len(embedding))) AS dim,
+                       unnest(embedding) AS val
+                FROM embeddings WHERE embedding IS NOT NULL),
+            q AS (
+                SELECT label, dim,
+                       floor(val::DOUBLE * 1000000)::BIGINT AS q
+                FROM ex)
+            SELECT label::INT AS label, dim::INT AS dim,
+                   sum(q)::BIGINT AS sum_q, count(*)::BIGINT AS n,
+                   sum(q)::DOUBLE / (count(*) * 1000000)::DOUBLE AS centroid
+            FROM q GROUP BY label, dim
+        """,
         "dedup_stream_replay": """
             WITH c AS (
                 SELECT user_id, event_id, epoch_us(ts) AS us

@@ -23,6 +23,7 @@ __all__ = [
     "knn_ivf",
     "ivf_bucket_candidate_pairs",
     "knn_bruteforce_pandas",
+    "label_centroids",
 ]
 
 
@@ -342,3 +343,55 @@ def knn_bruteforce_pandas(
     scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def label_centroids(
+    df: DataFrame,
+    *,
+    vec_col: str,
+    label_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-class embedding centroids in EXACT integer arithmetic — the
+    class-prototype computation behind nearest-centroid classification,
+    per-class drift monitoring, and IVF seeding over labeled corpora.
+
+    Output: one row per (label, dim): (label, dim, sum_q, n, centroid)
+    — long format, n_labels x dim rows (driver-small for any real
+    label space).
+
+    Distribution: ``posexplode`` fans each vector into (label, dim,
+    component) rows and ONE hash aggregate on (label, dim) does the
+    rest — BIGINT sums combine map-side, so the shuffle carries only
+    n_labels x dim partial rows per task regardless of corpus size.
+
+    Determinism: float sums are accumulation-order-dependent, so a
+    naive ``avg(component)`` can never hash-match an oracle. Components
+    are floor-quantized at ``scale`` (floor, not round — no half-rule
+    for engines to disagree on; the float->double widening and the
+    double multiply below it are IEEE-exact in any engine), summed as
+    BIGINTs (exact, order-free), and the centroid is ONE double
+    division of exact integers — bit-identical cross-engine.
+    """
+    ex = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col)).alias("dim", "val"),
+        )
+        .select(
+            "label",
+            F.col("dim").cast("int").alias("dim"),
+            F.floor(F.col("val").cast("double") * F.lit(float(scale)))
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+    return ex.groupBy("label", "dim").agg(
+        F.sum("q").alias("sum_q"),
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum("q").cast("double")
+            / (F.count(F.lit(1)) * F.lit(int(scale))).cast("double")
+        ).alias("centroid"),
+    )

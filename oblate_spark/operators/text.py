@@ -25,6 +25,8 @@ __all__ = [
     "tfidf_top_terms",
     "ngrams_expr",
     "ngram_contamination",
+    "dup_shingle_fraction",
+    "chunk_documents",
 ]
 
 #: tiny per-language function-word lists — enough signal for the n-gram
@@ -421,4 +423,104 @@ def ngram_contamination(
             F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("double")
             / F.greatest(F.col("n_grams"), F.lit(1)).cast("double")
         ).alias("contamination"),
+    )
+
+
+def dup_shingle_fraction(
+    df: DataFrame, *, id_col: str, text_col: str, n: int = 6
+) -> DataFrame:
+    """Cross-document duplicated-text fraction (the RefinedWeb/Gopher
+    ``dups_frac`` corpus-hygiene signal): for each document, the share
+    of its DISTINCT token n-gram shingles that also occur in at least
+    one OTHER document. Distinct from ``repetition_signals`` (within-doc
+    repetition) and ``ngram_contamination`` (overlap with an external
+    benchmark) — this measures cross-document boilerplate/copy pressure
+    and is the standard pre-filter before near-dup clustering.
+
+    Output: (id, n_shingles, n_dup, dup_fraction). ``n_shingles`` is 0
+    for documents shorter than ``n`` tokens (dup_fraction 0.0).
+
+    Distribution: shingles are md5-hashed BEFORE the shuffle (16-byte
+    fixed width regardless of ``n``); per-doc distinct and global
+    document-frequency are hash aggregates on that key with map-side
+    partials, and the doc-frequency table joins back on the same key —
+    a vocabulary-sized shuffle join, never broadcast (a web-scale
+    vocabulary exceeds any broadcast limit; same lesson as
+    ``tfidf_top_terms``'s guarded broadcast). The ratio is one exact
+    BIGINT/BIGINT double division, so a SQL oracle is bit-identical.
+    """
+    pairs = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(ngrams_expr(tokens_expr(F.col(text_col)), n))
+            ).alias("gram"),
+        )
+        .select(F.col(id_col), F.md5(F.col("gram")).alias("gh"))
+    )
+    dfreq = pairs.groupBy("gh").agg(F.count(F.lit(1)).alias("df_docs"))
+    per_doc = (
+        pairs.join(dfreq, "gh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df_docs") >= 2).cast("bigint")).alias("n_dup"),
+        )
+    )
+    return df.select(F.col(id_col)).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_shingles", F.lit(0)).cast("bigint").alias("n_shingles"),
+        F.coalesce("n_dup", F.lit(0)).cast("bigint").alias("n_dup"),
+        (
+            F.coalesce("n_dup", F.lit(0)).cast("double")
+            / F.greatest(F.coalesce("n_shingles", F.lit(0)), F.lit(1)).cast(
+                "double"
+            )
+        ).alias("dup_fraction"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Chunk documents into fixed-token training windows with overlap
+    (``stride < chunk_tokens`` overlaps consecutive chunks, the standard
+    LM pre-tokenization windowing). Chunks start at token offsets
+    0, stride, 2*stride, ... while the offset is inside the document;
+    the final chunk may be shorter. Empty documents produce no chunks.
+
+    Output: (id, chunk_id, chunk_text, n_tokens).
+
+    Distribution: map-only — tokenize, ``explode`` a per-row
+    ``sequence`` of chunk ids, ``slice`` + ``array_join``; ZERO
+    shuffles, pipelines straight from the scan into the sink at any
+    scale (contrast ``pack_sequences``, which needs a shard cumsum
+    Exchange because its output depends on neighbors; chunking is
+    per-document so it does not).
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = tokens_expr(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__toks")).filter(
+        F.size("__toks") > 0
+    )
+    n_chunks = F.floor((F.size("__toks") - 1) / F.lit(stride)).cast("int") + 1
+    chunk = F.slice(
+        F.col("__toks"), F.col("chunk_id") * stride + 1, chunk_tokens
+    )
+    return (
+        base.withColumn(
+            "chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).cast("bigint").alias("n_tokens"),
+        )
     )

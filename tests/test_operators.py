@@ -869,3 +869,104 @@ def test_image_phash_near_dup_composition(spark):
     for a, b in [(15, 16), (17, 18), (19, 20), (21, 22), (23, 24)]:
         assert (f"img_{a:012d}", f"img_{b:012d}") in exact, (a, b, exact)
     assert all(p["hamming"] <= 2 for p in pairs)
+
+
+def test_dup_shingle_fraction(spark):
+    """Planted cross-doc duplicate shares all shingles; a unique doc
+    shares none; a doc shorter than n has 0 shingles and 0.0 fraction."""
+    from oblate_spark.operators.text import dup_shingle_fraction
+
+    same = "alpha beta gamma delta epsilon zeta eta"
+    df = spark.createDataFrame(
+        [
+            (1, same),
+            (2, same),
+            (3, "one two three four five six seven eight"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dup_shingle_fraction(
+            df, id_col="doc_id", text_col="text", n=5
+        ).collect()
+    }
+    assert rows[1]["n_shingles"] == 3 and rows[1]["n_dup"] == 3
+    assert rows[1]["dup_fraction"] == 1.0 and rows[2]["dup_fraction"] == 1.0
+    assert rows[3]["n_shingles"] == 4 and rows[3]["n_dup"] == 0
+    assert rows[4]["n_shingles"] == 0 and rows[4]["dup_fraction"] == 0.0
+
+
+def test_chunk_documents(spark):
+    """Chunk boundaries: 5 tokens, chunk 3 / stride 2 -> windows at
+    offsets 0,2,4 with the tail chunk short; empty docs emit nothing;
+    concatenating stride-prefixes of the chunks rebuilds the doc."""
+    from oblate_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, ""), (3, "x")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(
+        df, id_col="doc_id", text_col="text", chunk_tokens=3, stride=2
+    ).collect()
+    got = sorted((r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_tokens"]) for r in out)
+    assert got == [
+        (1, 0, "a b c", 3),
+        (1, 1, "c d e", 3),
+        (1, 2, "e", 1),
+        (3, 0, "x", 1),
+    ], got
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, id_col="doc_id", text_col="text", stride=0)
+
+
+def test_chunk_documents_map_only_plan(spark):
+    """Chunking is per-document: the plan must contain NO Exchange —
+    it pipelines scan -> generate -> project at any scale."""
+    from oblate_spark.operators.text import chunk_documents
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[F.lit(f"t{i}") for i in range(40)]).alias("text"),
+    )
+    out = chunk_documents(df, id_col="doc_id", text_col="text")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_label_centroids_exact(spark):
+    """Known vectors -> exact quantized sums; floor on negatives goes
+    toward -inf; centroid is the exact rational."""
+    from oblate_spark.operators.similarity import label_centroids
+
+    df = spark.createDataFrame(
+        [
+            (1, 0, [1.5, -0.25]),
+            (2, 0, [2.5, 0.75]),
+            (3, 1, [-1.1, 0.0]),
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    rows = {
+        (r["label"], r["dim"]): r
+        for r in label_centroids(
+            df, vec_col="embedding", label_col="label"
+        ).collect()
+    }
+    assert rows[(0, 0)]["sum_q"] == 4_000_000 and rows[(0, 0)]["n"] == 2
+    assert rows[(0, 0)]["centroid"] == 2.0
+    assert rows[(0, 1)]["sum_q"] == 500_000 and rows[(0, 1)]["centroid"] == 0.25
+    # -1.1 as float32 widens to -1.100000023841858; floor(-1100000.02...) = -1100001
+    assert rows[(1, 0)]["sum_q"] == -1_100_001
+    assert rows[(1, 1)]["sum_q"] == 0 and rows[(1, 1)]["centroid"] == 0.0
