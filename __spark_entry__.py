@@ -887,6 +887,56 @@ def q_label_centroids_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SPLIT_SALT = "split5"
+
+
+def q_group_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: all docs of a source land in
+    the same split via md5(salt||source) against cumulative thresholds
+    (map-only, layout-stable — randomSplit is neither)."""
+    from oblate_spark.operators.sampling import group_split
+
+    d = _read(spark, sf_dir, "documents")
+    out = group_split(
+        d, group_cols=["source"], fractions=SPLIT_FRACTIONS, salt=SPLIT_SALT
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source", "split"
+    )
+
+
+def q_keep_best_canonical_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical per duplicate cluster: LSH pairs ->
+    connected components -> keep the highest-quality member (ties: min
+    doc_id). The full 'dedup policy' pipeline end-to-end."""
+    from oblate_spark.operators.dedup import (
+        duplicate_clusters,
+        keep_best_canonical,
+        lsh_candidate_pairs,
+    )
+    from oblate_spark.operators.text import quality_score
+
+    d = _read(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(
+        d, id_col="doc_id", text_col="text", k=SHINGLE_K,
+        num_hashes=NUM_HASHES, rows_per_band=ROWS_PER_BAND,
+    )
+    clusters = duplicate_clusters(cand)
+    scores = quality_score(d, id_col="doc_id", text_col="text").select(
+        "doc_id", "quality"
+    )
+    out = keep_best_canonical(
+        clusters, scores, id_col="doc_id", score_col="quality"
+    )
+    return out.select(
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        F.col("canonical_id").cast("bigint").alias("canonical_id"),
+        "canonical_score",
+        "n_members",
+    )
+
+
 MIXTURE_WEIGHTS = {"en": 0.4, "de": 0.3, "es": 0.3}
 MIXTURE_SALT = "mix5"
 
@@ -1108,6 +1158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_shingle_fraction_documents": q_dup_shingle_fraction_documents,
         "chunk_documents": q_chunk_documents,
         "label_centroids_embeddings": q_label_centroids_embeddings,
+        "group_split_documents": q_group_split_documents,
+        "keep_best_canonical_documents": q_keep_best_canonical_documents,
     }
 
 
@@ -1208,6 +1260,23 @@ def _sql_deterministic_sample() -> str:
     SELECT doc_id::BIGINT AS doc_id, lang FROM documents
     WHERE substr(md5(concat_ws(chr(31), '{SAMPLE_SALT}', doc_id::VARCHAR)), 1, 8)
           < CASE lang {whens} ELSE '{default}' END
+    """
+
+
+def _sql_group_split() -> str:
+    from oblate_spark.operators.sampling import split_boundaries
+
+    bounds = split_boundaries(SPLIT_FRACTIONS)
+    prefix = (
+        f"substr(md5(concat_ws(chr(31), '{SPLIT_SALT}', source)), 1, 8)"
+    )
+    whens = " ".join(
+        f"WHEN {prefix} < '{b}' THEN '{name}'" for name, b in bounds[:-1]
+    )
+    return f"""
+    SELECT doc_id::BIGINT AS doc_id, source,
+           CASE {whens} ELSE '{bounds[-1][0]}' END AS split
+    FROM documents
     """
 
 
@@ -1950,6 +2019,48 @@ def oracle_sql() -> dict[str, str]:
                    sum(q)::BIGINT AS sum_q, count(*)::BIGINT AS n,
                    sum(q)::DOUBLE / (count(*) * 1000000)::DOUBLE AS centroid
             FROM q GROUP BY label, dim
+        """,
+        "group_split_documents": _sql_group_split(),
+        "keep_best_canonical_documents": f"""
+            WITH RECURSIVE bands AS ({_sql_bands()}),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+                WHERE a.doc_id < b.doc_id),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+                      UNION SELECT id_b, id_a FROM cand),
+            nodes AS (SELECT DISTINCT src AS id FROM edges),
+            walk(node, label) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+            ),
+            clusters AS (
+                SELECT node AS doc_id, min(label) AS cluster_id
+                FROM walk GROUP BY node),
+            qual AS (
+                SELECT doc_id,
+                       round(0.4 * least(length(text)::DOUBLE / 500.0, 1.0)
+                             + 0.3 * (1.0 - least(
+                                 length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g'))::DOUBLE
+                                     / greatest(length(text), 1) * 5, 1.0))
+                             + 0.3 * least(
+                                 len(list_filter({_TOKENS}, x -> list_contains([{stops_lst}], x)))::DOUBLE
+                                     / greatest(len({_TOKENS}), 1) * 4, 1.0),
+                             6)::DOUBLE AS quality
+                FROM documents),
+            r AS (
+                SELECT c.cluster_id, c.doc_id, q.quality,
+                       row_number() OVER (
+                           PARTITION BY c.cluster_id
+                           ORDER BY q.quality DESC, c.doc_id) AS rn,
+                       count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+                FROM clusters c JOIN qual q USING (doc_id))
+            SELECT cluster_id::BIGINT AS cluster_id,
+                   doc_id::BIGINT AS canonical_id,
+                   quality AS canonical_score,
+                   n_members::BIGINT AS n_members
+            FROM r WHERE rn = 1
         """,
         "dedup_stream_replay": """
             WITH c AS (

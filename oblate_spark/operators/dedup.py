@@ -47,6 +47,7 @@ __all__ = [
     "embedding_near_duplicates",
     "duplicate_clusters",
     "keep_canonical",
+    "keep_best_canonical",
 ]
 
 
@@ -422,3 +423,47 @@ def keep_canonical(
         F.col("id").alias(id_col)
     )
     return df.join(non_canonical, on=id_col, how="left_anti")
+
+
+def keep_best_canonical(
+    clusters: DataFrame,
+    scores: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Quality-aware canonical selection: instead of ``keep_canonical``'s
+    min-id policy, keep the HIGHEST-``score_col`` member of each
+    duplicate cluster (ties broken by ascending id — total order, so
+    the choice is deterministic and cross-engine reproducible).
+    This is the standard "keep best page of the template" policy in
+    web-corpus dedup, where min-id would keep an arbitrary member.
+
+    Inputs: ``clusters`` = (id, cluster_id) from ``duplicate_clusters``;
+    ``scores`` = (id_col, score_col), e.g. ``text.quality_score``.
+    Output: (cluster_id, canonical_id, canonical_score, n_members).
+
+    Distribution: one equi-join on the id (cluster table is
+    duplicate-pairs-sized, far smaller than the corpus) then ONE
+    shuffle on cluster_id into a single sort: ``row_number`` and the
+    member count share the partition spec, so Catalyst plans one
+    Exchange. Duplicate clusters are small by construction (a
+    pathological giant cluster means the corpus is one template — a
+    data bug this operator's n_members output is how you notice).
+    """
+    from pyspark.sql import Window
+
+    j = clusters.withColumnRenamed("id", id_col).join(scores, id_col)
+    part = Window.partitionBy("cluster_id")
+    ordered = part.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    return (
+        j.withColumn("__rn", F.row_number().over(ordered))
+        .withColumn("n_members", F.count(F.lit(1)).over(part))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "cluster_id",
+            F.col(id_col).alias("canonical_id"),
+            F.col(score_col).alias("canonical_score"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+    )

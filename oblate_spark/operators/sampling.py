@@ -15,7 +15,7 @@ from typing import Mapping, Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["deterministic_sample", "mixture_sample", "pack_sequences"]
+__all__ = ["deterministic_sample", "mixture_sample", "pack_sequences", "group_split", "split_boundaries"]
 
 #: hex prefix length used for the keep/drop threshold: 8 nibbles = 32
 #: uniform bits, granularity 2^-32 on the sampling rate.
@@ -199,3 +199,67 @@ def mixture_sample(
         F.concat_ws("\x1f", F.lit(salt), *[F.col(c).cast("string") for c in key_cols])
     )
     return df.filter(F.substring(key, 1, _PREFIX) < thr)
+
+
+def split_boundaries(fractions: Mapping[str, float]) -> list[tuple[str, str]]:
+    """(split_name, cumulative md5-prefix upper bound) pairs in the
+    mapping's insertion order; the last bound is the 'g' sentinel (sorts
+    above every hex char) so rounding can never drop a row. Pure so the
+    SQL-oracle twin embeds the identical literals."""
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = float(sum(fractions.values()))
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bounds: list[tuple[str, str]] = []
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        frac = fractions[name]
+        if frac < 0:
+            raise ValueError(f"negative fraction for {name!r}")
+        acc += frac
+        bounds.append((name, _threshold_hex(acc)))
+    bounds.append((names[-1], "g"))
+    return bounds
+
+
+def group_split(
+    df: DataFrame,
+    *,
+    group_cols: Sequence[str],
+    fractions: Mapping[str, float],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: every row of a GROUP
+    (user, domain, dedup cluster, ...) lands in the same split, decided
+    by ``md5(salt || group key)`` against cumulative prefix thresholds.
+    Splitting at row level leaks near-duplicate rows of one group across
+    train and eval; hashing the group key is the standard fix, and the
+    md5 recipe makes the assignment identical on every engine and rerun
+    (``df.randomSplit`` is neither group-aware nor layout-stable).
+
+    ``fractions`` maps split name -> fraction (must sum to 1; insertion
+    order fixes the hash-space layout, so train ⊂ train+val nesting
+    holds when later calls only grow a TRAILING fraction). Changing
+    ``salt`` redraws the assignment.
+
+    Scale: map-only — one md5 + a CASE chain per row, no shuffle, no
+    driver state; the added column prunes/pushes like any projection.
+    """
+    key = F.md5(
+        F.concat_ws(
+            "\x1f", F.lit(salt), *[F.col(c).cast("string") for c in group_cols]
+        )
+    )
+    prefix = F.substring(key, 1, _PREFIX)
+    bounds = split_boundaries(fractions)
+    # a WHEN chain evaluates in order: the first matching (smallest)
+    # bound wins, mirroring the SQL CASE the oracle runs
+    first = bounds[0]
+    case = F.when(prefix < F.lit(first[1]), F.lit(first[0]))
+    for name, bound in bounds[1:-1]:
+        case = case.when(prefix < F.lit(bound), F.lit(name))
+    case = case.otherwise(F.lit(bounds[-1][0]))
+    return df.withColumn(split_col, case)

@@ -970,3 +970,81 @@ def test_label_centroids_exact(spark):
     # -1.1 as float32 widens to -1.100000023841858; floor(-1100000.02...) = -1100001
     assert rows[(1, 0)]["sum_q"] == -1_100_001
     assert rows[(1, 1)]["sum_q"] == 0 and rows[(1, 1)]["centroid"] == 0.0
+
+
+def test_split_boundaries_properties():
+    """Pure checks: boundaries are cumulative-monotone, last is the 'g'
+    sentinel, bad fraction sets raise."""
+    import pytest as _pytest
+
+    from oblate_spark.operators.sampling import _threshold_hex, split_boundaries
+
+    b = split_boundaries({"train": 0.8, "val": 0.1, "test": 0.1})
+    assert [n for n, _ in b] == ["train", "val", "test"]
+    assert b[0][1] == _threshold_hex(0.8)
+    assert b[1][1] == _threshold_hex(0.9)
+    assert b[2][1] == "g"
+    assert b[0][1] < b[1][1] < b[2][1]
+    assert split_boundaries({"all": 1.0}) == [("all", "g")]
+    with _pytest.raises(ValueError):
+        split_boundaries({"train": 0.5, "val": 0.1})
+    with _pytest.raises(ValueError):
+        split_boundaries({})
+
+
+def test_group_split(spark):
+    """Every row of a group gets the same split; fractions are roughly
+    honored across many groups; assignment is salt-stable."""
+    from oblate_spark.operators.sampling import group_split
+
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 200).cast("string").alias("grp")
+    )
+    out = group_split(
+        df,
+        group_cols=["grp"],
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="s1",
+    )
+    per_group = (
+        out.groupBy("grp").agg(F.countDistinct("split").alias("n")).collect()
+    )
+    assert all(r["n"] == 1 for r in per_group)  # leakage-safe
+    counts = {r["split"]: r["cnt"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > counts.get("val", 0)
+    assert counts["train"] > counts.get("test", 0)
+    # 200 groups at 80/10/10: train should carry the clear majority
+    assert counts["train"] / 2000 > 0.6
+    again = group_split(
+        df,
+        group_cols=["grp"],
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="s1",
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_keep_best_canonical(spark):
+    """Highest score wins; score tie falls back to min id; n_members
+    counts the whole cluster."""
+    from oblate_spark.operators.dedup import keep_best_canonical
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (10, 0.5), (11, 0.5)],
+        "doc_id long, quality double",
+    )
+    rows = {
+        r["cluster_id"]: r
+        for r in keep_best_canonical(
+            clusters, scores, id_col="doc_id", score_col="quality"
+        ).collect()
+    }
+    assert rows[1]["canonical_id"] == 2 and rows[1]["n_members"] == 3
+    assert rows[1]["canonical_score"] == 0.9
+    assert rows[10]["canonical_id"] == 10 and rows[10]["n_members"] == 2
