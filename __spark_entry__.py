@@ -1099,6 +1099,126 @@ def q_subword_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("n_subwords").cast("bigint").alias("n_subwords"))
 
 
+RARE_DOC_THRESHOLD = 2  # tokens in <=2 documents count as rare
+
+#: aspect-bucket oracle fixture: dims manifest size + packing params
+BUCKET_N_IMAGES = 2000
+BUCKET_BATCH = 32
+BUCKET_SHARDS = 8
+CDC_INSERT_OFFSET = 20_000_000_000  # past any sf's real o_orderkey
+
+
+def q_token_rarity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-rarity triage profile: per-doc distinct-token count,
+    minimum corpus document-frequency, hapax count and rare-token count
+    — the OOD/garbage signal. All exact BIGINTs -> hash-exact oracle."""
+    from oblate_spark.operators.text import token_rarity
+
+    d = _read(spark, sf_dir, "documents")
+    out = token_rarity(
+        d, id_col="doc_id", text_col="text",
+        rare_doc_threshold=RARE_DOC_THRESHOLD,
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_distinct_tokens",
+        "min_df",
+        "n_hapax",
+        "n_rare",
+    )
+
+
+def _bucket_dims_rows() -> list:
+    """(idx, w, h) manifest for the aspect-bucket fixture — the
+    no-encode closed-form twin of the image fixture's dims (parity
+    pinned by test_dims_for_index_matches_make_row). Bounded: 2000
+    rows, built driver-side once per query/oracle construction."""
+    from oblate_spark import fixtures
+
+    rows = []
+    for i in range(BUCKET_N_IMAGES):
+        _, w, h = fixtures.dims_for_index(i)
+        rows.append((i, w, h))
+    return rows
+
+
+def q_aspect_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-axis batch packing: nearest aspect-ratio bucket by exact
+    integer cross-multiplication, then a SKEW-FREE global per-bucket
+    rank (sharded window + bounded offset table — never one window
+    partition per bucket) -> (batch_id, slot) training coordinates.
+    The shard expression is arithmetic (idx % shards) so the total
+    order is reproducible in the SQL oracle; production default is
+    xxhash64."""
+    from oblate_spark.operators.buckets import (
+        DEFAULT_BUCKETS,
+        aspect_bucket_batches,
+    )
+
+    df = spark.createDataFrame(_bucket_dims_rows(), "idx bigint, w int, h int")
+    out = aspect_bucket_batches(
+        df,
+        id_col="idx",
+        w_col="w",
+        h_col="h",
+        buckets=DEFAULT_BUCKETS,
+        batch_size=BUCKET_BATCH,
+        n_shards=BUCKET_SHARDS,
+        shard=F.pmod(F.col("idx"), F.lit(BUCKET_SHARDS)),
+    )
+    return out.select(
+        F.col("idx").cast("bigint").alias("idx"),
+        F.col("bucket_id").cast("int").alias("bucket_id"),
+        "bucket_w",
+        "bucket_h",
+        "rank",
+        "batch_id",
+        F.col("slot").cast("int").alias("slot"),
+    )
+
+
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two table versions: base = orders; new = orders with
+    keys %13 deleted, %7 repriced, %11 re-prioritized, and %17 cloned
+    to fresh keys (inserts). One full-outer sort-merge join; output is
+    the exact keyed change set with per-row changed-column lists."""
+    from oblate_spark.operators.cdc import snapshot_diff
+
+    o = _read(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = o.select(
+        k.cast("bigint").alias("o_orderkey"),
+        "o_totalprice",
+        "o_orderpriority",
+        "o_orderstatus",
+    )
+    kb = F.col("o_orderkey")
+    mutated = base.filter(kb % 13 != 0).select(
+        kb,
+        F.when(kb % 7 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(kb % 11 == 0, F.lit("X-PRIORITY"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+        "o_orderstatus",
+    )
+    inserts = base.filter(kb % 17 == 0).select(
+        (kb + F.lit(CDC_INSERT_OFFSET)).alias("o_orderkey"),
+        "o_totalprice",
+        "o_orderpriority",
+        F.lit("I").alias("o_orderstatus"),
+    )
+    new = mutated.unionByName(inserts)
+    out = snapshot_diff(base, new, key_cols=["o_orderkey"])
+    return out.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        "change_type",
+        "changed_cols",
+        F.col("n_changed").cast("int").alias("n_changed"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": q_validate_lineitem,
@@ -1160,6 +1280,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids_embeddings": q_label_centroids_embeddings,
         "group_split_documents": q_group_split_documents,
         "keep_best_canonical_documents": q_keep_best_canonical_documents,
+        "token_rarity_documents": q_token_rarity_documents,
+        "aspect_bucket_batches": q_aspect_bucket_batches,
+        "snapshot_diff_orders": q_snapshot_diff_orders,
     }
 
 
@@ -1395,6 +1518,51 @@ def _sql_image_golden(n: int) -> str:
         f"SELECT '{code}' AS error_code, {cnt}::BIGINT AS cnt"
         for code, cnt in sorted(rows.items())
     )
+
+
+def _sql_aspect_buckets() -> str:
+    """Independent SQL restatement of aspect-bucket batch packing over
+    the literal (idx, w, h) dims manifest. The argmin orders by
+    ``|w*bh - h*bw| * (LCM/bh)`` — the exact-integer equivalent of the
+    operator's pairwise cross-multiplication (multiplying each cost by
+    LCM(all bh)/bh puts every bucket's |w/h - bw/bh| on one common
+    integer scale), so ties break on bucket index identically in both
+    engines with zero float rounding anywhere."""
+    import math
+
+    from oblate_spark.operators.buckets import DEFAULT_BUCKETS
+
+    lcm = math.lcm(*[bh for _, bh in DEFAULT_BUCKETS])
+    bucket_vals = ", ".join(
+        f"({i}, {bw}, {bh}, {lcm // bh})"
+        for i, (bw, bh) in enumerate(DEFAULT_BUCKETS)
+    )
+    dims_vals = ", ".join(f"({i}, {w}, {h})" for i, w, h in _bucket_dims_rows())
+    return f"""
+        WITH t(idx, w, h) AS (VALUES {dims_vals}),
+        b(bidx, bw, bh, mult) AS (VALUES {bucket_vals}),
+        assigned AS (
+            SELECT t.idx, t.w, t.h,
+                   (SELECT b.bidx FROM b
+                    ORDER BY abs(t.w::BIGINT * b.bh - t.h::BIGINT * b.bw) * b.mult,
+                             b.bidx
+                    LIMIT 1) AS bucket_id
+            FROM t),
+        ranked AS (
+            SELECT idx, bucket_id,
+                   row_number() OVER (
+                       PARTITION BY bucket_id
+                       ORDER BY idx % {BUCKET_SHARDS}, idx) - 1 AS rank
+            FROM assigned)
+        SELECT r.idx::BIGINT AS idx,
+               r.bucket_id::INT AS bucket_id,
+               b.bw::INT AS bucket_w,
+               b.bh::INT AS bucket_h,
+               r.rank::BIGINT AS rank,
+               (r.rank // {BUCKET_BATCH})::BIGINT AS batch_id,
+               (r.rank % {BUCKET_BATCH})::INT AS slot
+        FROM ranked r JOIN b ON b.bidx = r.bucket_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2089,5 +2257,58 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY t_us
                          RANGE BETWEEN {ROLLING_WINDOW_SEC * 1_000_000} PRECEDING
                          AND CURRENT ROW)
+        """,
+        "token_rarity_documents": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(list_distinct({_TOKENS})) AS tok
+                FROM documents),
+            dfreq AS (SELECT tok, count(*) AS dfq FROM toks GROUP BY tok),
+            per AS (
+                SELECT doc_id,
+                       count(*) AS n_distinct_tokens,
+                       min(dfq) AS min_df,
+                       sum(CASE WHEN dfq = 1 THEN 1 ELSE 0 END) AS n_hapax,
+                       sum(CASE WHEN dfq <= {RARE_DOC_THRESHOLD} THEN 1 ELSE 0 END) AS n_rare
+                FROM toks JOIN dfreq USING (tok) GROUP BY doc_id)
+            SELECT d.doc_id::BIGINT AS doc_id,
+                   coalesce(p.n_distinct_tokens, 0)::BIGINT AS n_distinct_tokens,
+                   p.min_df::BIGINT AS min_df,
+                   coalesce(p.n_hapax, 0)::BIGINT AS n_hapax,
+                   coalesce(p.n_rare, 0)::BIGINT AS n_rare
+            FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
+        "aspect_bucket_batches": _sql_aspect_buckets(),
+        "snapshot_diff_orders": f"""
+            WITH base AS (
+                SELECT o_orderkey::BIGINT AS k, o_totalprice AS p,
+                       o_orderpriority AS pr, o_orderstatus AS st
+                FROM orders),
+            nw AS (
+                SELECT k,
+                       CASE WHEN k % 7 = 0 THEN p + 1.0 ELSE p END AS p,
+                       CASE WHEN k % 11 = 0 THEN 'X-PRIORITY' ELSE pr END AS pr,
+                       st
+                FROM base WHERE k % 13 <> 0
+                UNION ALL
+                SELECT k + {CDC_INSERT_OFFSET}, p, pr, 'I'
+                FROM base WHERE k % 17 = 0),
+            j AS (
+                SELECT coalesce(b.k, n.k) AS o_orderkey,
+                       b.k IS NOT NULL AS in_b, n.k IS NOT NULL AS in_n,
+                       list_filter([
+                           CASE WHEN b.pr IS DISTINCT FROM n.pr THEN 'o_orderpriority' END,
+                           CASE WHEN b.st IS DISTINCT FROM n.st THEN 'o_orderstatus' END,
+                           CASE WHEN b.p  IS DISTINCT FROM n.p  THEN 'o_totalprice' END
+                       ], x -> x IS NOT NULL) AS ch
+                FROM base b FULL OUTER JOIN nw n ON b.k = n.k)
+            SELECT o_orderkey,
+                   CASE WHEN in_b AND NOT in_n THEN 'delete'
+                        WHEN in_n AND NOT in_b THEN 'insert'
+                        ELSE 'update' END AS change_type,
+                   CASE WHEN in_b AND in_n
+                        THEN array_to_string(ch, ',') ELSE '' END AS changed_cols,
+                   (CASE WHEN in_b AND in_n THEN len(ch) ELSE 0 END)::INT AS n_changed
+            FROM j
+            WHERE NOT (in_b AND in_n AND len(ch) = 0)
         """,
     }

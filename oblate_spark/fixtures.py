@@ -92,6 +92,33 @@ DEFAULT_PX = (16, 64)
 _HOT_INDEX = -1  # sentinel index for the hot bucket's shared image
 
 
+def dims_for_index(i: int, px: tuple[int, int] = DEFAULT_PX) -> tuple[str, int, int]:
+    """Closed-form (image_id, w, h) manifest companion to
+    :func:`make_row` — the first two RNG draws plus the dimension
+    defects, WITHOUT encoding any pixels, so oracle fixtures can embed
+    exact dims as SQL literals cheaply. Must stay draw-for-draw in sync
+    with ``make_row`` (guarded by a parity test); ``make_row`` itself
+    is deliberately untouched so previously published golden manifests
+    and the prebuilt bench tables stay byte-identical."""
+    rng = np.random.default_rng(SEED * 7_000_003 + i)
+    defect = defect_for_index(i)
+    lo_px, hi_px = px
+    fixed_px = max(32, lo_px)
+    w = int(rng.integers(lo_px, hi_px))
+    h = int(rng.integers(lo_px, hi_px))
+    image_id = f"img_{i:012d}"
+    if defect in ("hot_phash", "dup_phash"):
+        w = h = fixed_px
+    elif defect == "dims_mismatch":
+        w = w + 7
+    elif defect == "w_range":
+        w, h = 4100, 2
+    elif defect == "dup_image_id":
+        base = (i // 1000) * 1000 + 500 + (i % 1000 - 10)
+        image_id = f"img_{base:012d}"
+    return image_id, w, h
+
+
 def make_row(i: int, px: tuple[int, int] = DEFAULT_PX) -> dict:
     """One deterministic row; pure function of the index (and the size
     range, which must match between generation and golden manifest)."""

@@ -26,6 +26,7 @@ __all__ = [
     "ngrams_expr",
     "ngram_contamination",
     "dup_shingle_fraction",
+    "token_rarity",
     "chunk_documents",
 ]
 
@@ -477,6 +478,75 @@ def dup_shingle_fraction(
                 "double"
             )
         ).alias("dup_fraction"),
+    )
+
+
+def token_rarity(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    rare_doc_threshold: int = 2,
+    max_broadcast_terms: int = 20_000_000,
+) -> DataFrame:
+    """Per-document corpus-rarity profile: how unusual is each
+    document's vocabulary relative to the whole corpus? The standard
+    out-of-distribution / OCR-garbage signal for training-data triage —
+    a document whose tokens are mostly corpus-hapaxes is far more
+    likely to be noise (mangled encodings, boilerplate IDs, rot13 spam)
+    than prose, and ``min_df == 1`` flags every document that carries
+    at least one corpus-unique token.
+
+    Output, all exact BIGINTs (hash-exact across engines):
+
+    * ``n_distinct_tokens`` — distinct whitespace tokens in the doc
+      (0 for empty docs);
+    * ``min_df`` — the smallest corpus document-frequency among the
+      doc's tokens (NULL for empty docs);
+    * ``n_hapax`` — tokens of the doc occurring in NO other document
+      (corpus document-frequency 1);
+    * ``n_rare`` — tokens with document-frequency <=
+      ``rare_doc_threshold``.
+
+    Distribution: explode distinct tokens (map-side), one
+    groupBy(token) hash aggregate for the document-frequency table
+    (map-side partials), then a token-keyed join back. The df table is
+    vocabulary-sized: broadcast only while its term count stays under
+    ``max_broadcast_terms`` (same guard as ``tfidf_top_terms``); above
+    it, a plain shuffle join — where stopword-like tokens carry
+    near-corpus-cardinality join groups, which AQE's skew-join split
+    handles (they're the df-max tokens, so they never affect ``min_df``
+    semantics, only balance). Final per-doc aggregate is one more hash
+    aggregate. Nothing all-pairs, nothing driver-side beyond the one
+    bounded vocabulary count."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens_expr(F.col(text_col)))).alias(
+            "__tok"
+        ),
+    )
+    dfreq = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    n_terms = dfreq.count()  # bounded: one scalar over the slim df table
+    joined = toks.join(
+        F.broadcast(dfreq) if n_terms <= max_broadcast_terms else dfreq,
+        "__tok",
+    )
+    per_doc = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.min("__df").alias("min_df"),
+        F.sum((F.col("__df") == 1).cast("bigint")).alias("n_hapax"),
+        F.sum(
+            (F.col("__df") <= rare_doc_threshold).cast("bigint")
+        ).alias("n_rare"),
+    )
+    return df.select(F.col(id_col)).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_distinct_tokens", F.lit(0))
+        .cast("bigint")
+        .alias("n_distinct_tokens"),
+        F.col("min_df").cast("bigint").alias("min_df"),
+        F.coalesce("n_hapax", F.lit(0)).cast("bigint").alias("n_hapax"),
+        F.coalesce("n_rare", F.lit(0)).cast("bigint").alias("n_rare"),
     )
 
 

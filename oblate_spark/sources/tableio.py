@@ -32,7 +32,7 @@ import json
 import os
 import shutil
 from dataclasses import dataclass, field
-from typing import Any, Optional
+from typing import Any, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -275,6 +275,31 @@ class SnapshotTable:
             df = self.read(to_sid)
             return df.limit(0)
         return self._scan(m, sids)
+
+    def diff(
+        self,
+        from_snapshot: int,
+        to_snapshot: Optional[int] = None,
+        *,
+        key_cols: Sequence[str],
+        compare_cols: Optional[Sequence[str]] = None,
+    ) -> DataFrame:
+        """Exact change set between two snapshots of this table —
+        Iceberg changelog-scan parity, but derived, so it works across
+        full rewrites where :meth:`read_incremental` must refuse.
+        Delegates to :func:`oblate_spark.operators.cdc.snapshot_diff`:
+        one full-outer sort-merge join on ``key_cols``; see there for
+        the output contract and scale notes."""
+        from ..operators.cdc import snapshot_diff
+
+        m = self._read_manifest()
+        to_sid = to_snapshot if to_snapshot is not None else m["current"]
+        return snapshot_diff(
+            self.read(from_snapshot),
+            self.read(to_sid),
+            key_cols=key_cols,
+            compare_cols=compare_cols,
+        )
 
     def rollback(self, snapshot_id: int) -> None:
         """Point the table back at an earlier snapshot (data retained)."""

@@ -1048,3 +1048,271 @@ def test_keep_best_canonical(spark):
     assert rows[1]["canonical_id"] == 2 and rows[1]["n_members"] == 3
     assert rows[1]["canonical_score"] == 0.9
     assert rows[10]["canonical_id"] == 10 and rows[10]["n_members"] == 2
+
+
+# ---------------------------------------------------------------------------
+# token_rarity
+# ---------------------------------------------------------------------------
+
+
+def test_token_rarity(spark):
+    """Hand corpus: corpus doc-frequencies apple=1 banana=2 cherry=1
+    durian=1; per-doc min_df / hapax / rare counts follow exactly;
+    empty docs get 0 counts and NULL min_df; within-doc repeats count
+    once (distinct tokens)."""
+    from oblate_spark.operators.text import token_rarity
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "durian"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in token_rarity(
+            df, id_col="doc_id", text_col="text", rare_doc_threshold=1
+        ).collect()
+    }
+    assert rows[1]["n_distinct_tokens"] == 2
+    assert rows[1]["min_df"] == 1  # apple is a hapax
+    assert rows[1]["n_hapax"] == 1 and rows[1]["n_rare"] == 1
+    assert rows[2]["min_df"] == 1 and rows[2]["n_hapax"] == 1
+    assert rows[3]["n_distinct_tokens"] == 1 and rows[3]["n_hapax"] == 1
+    assert rows[4]["n_distinct_tokens"] == 0
+    assert rows[4]["min_df"] is None
+    assert rows[4]["n_hapax"] == 0 and rows[4]["n_rare"] == 0
+    # threshold 2 makes banana rare too
+    rows2 = {
+        r["doc_id"]: r
+        for r in token_rarity(
+            df, id_col="doc_id", text_col="text", rare_doc_threshold=2
+        ).collect()
+    }
+    assert rows2[1]["n_rare"] == 2 and rows2[1]["n_hapax"] == 1
+
+
+# ---------------------------------------------------------------------------
+# aspect-ratio bucketing
+# ---------------------------------------------------------------------------
+
+
+def _expected_bucket(w: int, h: int, buckets) -> int:
+    from fractions import Fraction
+
+    best, best_cost = 0, None
+    for i, (bw, bh) in enumerate(buckets):
+        cost = abs(Fraction(w * bh - h * bw, bh))
+        if best_cost is None or cost < best_cost:
+            best, best_cost = i, cost
+    return best
+
+
+def test_assign_aspect_bucket_matches_bruteforce(spark):
+    """Bucket choice equals an exact-Fraction argmin for random dims,
+    and equal-ratio duplicate buckets tie to the EARLIER index."""
+    import random
+
+    from oblate_spark.operators.buckets import (
+        DEFAULT_BUCKETS,
+        assign_aspect_bucket,
+    )
+
+    rng = random.Random(7)
+    dims = [(rng.randint(1, 4096), rng.randint(1, 4096)) for _ in range(300)]
+    dims += [(1024, 1024), (4100, 2), (1, 4096), (896, 1152)]
+    df = spark.createDataFrame(
+        [(i, w, h) for i, (w, h) in enumerate(dims)], "i long, w int, h int"
+    )
+    got = {
+        r["i"]: r["bucket_id"]
+        for r in df.select(
+            "i", assign_aspect_bucket(F.col("w"), F.col("h"), DEFAULT_BUCKETS)
+        ).collect()
+    }
+    for i, (w, h) in enumerate(dims):
+        assert got[i] == _expected_bucket(w, h, DEFAULT_BUCKETS), (i, w, h)
+
+    # duplicate-ratio buckets: (1,2) and (2,4) are the same ratio;
+    # a 100x200 image must land on index 0, never 1
+    tie_buckets = [(1, 2), (2, 4), (1, 1)]
+    tie = df.select(
+        "i", assign_aspect_bucket(F.col("w"), F.col("h"), tie_buckets)
+    ).collect()
+    expected_tie = {r["i"]: None for r in tie}
+    for i, (w, h) in enumerate(dims):
+        expected_tie[i] = _expected_bucket(w, h, tie_buckets)
+        assert expected_tie[i] != 1  # index 1 is unreachable (tie -> 0)
+    for r in tie:
+        assert r["bucket_id"] == expected_tie[r["i"]]
+
+
+def test_aspect_bucket_batches_matches_reference(spark):
+    """Global per-bucket rank/batch/slot equals a single-process
+    reference computed by sorting (bucket, shard, id) — offsets + the
+    sharded window must compose to an exact total order."""
+    import random
+
+    from oblate_spark.operators.buckets import (
+        DEFAULT_BUCKETS,
+        aspect_bucket_batches,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(200, 2000), rng.randint(200, 2000)) for i in range(500)]
+    df = spark.createDataFrame(rows, "idx long, w int, h int")
+    out = aspect_bucket_batches(
+        df,
+        id_col="idx",
+        w_col="w",
+        h_col="h",
+        buckets=DEFAULT_BUCKETS,
+        batch_size=16,
+        n_shards=4,
+        shard=F.pmod(F.col("idx"), F.lit(4)),
+    ).collect()
+
+    expected_bucket = {
+        i: _expected_bucket(w, h, DEFAULT_BUCKETS) for i, w, h in rows
+    }
+    order = sorted(rows, key=lambda r: (expected_bucket[r[0]], r[0] % 4, r[0]))
+    exp_rank: dict[int, int] = {}
+    seen: dict[int, int] = {}
+    for i, _, _ in order:
+        b = expected_bucket[i]
+        exp_rank[i] = seen.get(b, 0)
+        seen[b] = exp_rank[i] + 1
+
+    assert len(out) == len(rows)
+    for r in out:
+        i = r["idx"]
+        assert r["bucket_id"] == expected_bucket[i], i
+        bw, bh = DEFAULT_BUCKETS[r["bucket_id"]]
+        assert (r["bucket_w"], r["bucket_h"]) == (bw, bh)
+        assert r["rank"] == exp_rank[i], (i, r["rank"], exp_rank[i])
+        assert r["batch_id"] == exp_rank[i] // 16
+        assert r["slot"] == exp_rank[i] % 16
+    # every batch except possibly the last per bucket is exactly full
+    from collections import Counter
+
+    per_batch = Counter((r["bucket_id"], r["batch_id"]) for r in out)
+    last_batch = {}
+    for (b, bid) in per_batch:
+        last_batch[b] = max(last_batch.get(b, -1), bid)
+    for (b, bid), n in per_batch.items():
+        if bid < last_batch[b]:
+            assert n == 16, (b, bid, n)
+
+
+def test_aspect_bucket_batches_single_shard_is_id_order(spark):
+    """n_shards=1 degenerates to plain per-bucket id order."""
+    from oblate_spark.operators.buckets import aspect_bucket_batches
+
+    df = spark.createDataFrame(
+        [(i, 100, 100) for i in range(10)], "idx long, w int, h int"
+    )
+    out = sorted(
+        aspect_bucket_batches(
+            df, id_col="idx", w_col="w", h_col="h",
+            buckets=[(1, 1)], batch_size=4, n_shards=1,
+        ).collect(),
+        key=lambda r: r["idx"],
+    )
+    for i, r in enumerate(out):
+        assert r["rank"] == i and r["batch_id"] == i // 4 and r["slot"] == i % 4
+
+    with pytest.raises(ValueError):
+        aspect_bucket_batches(
+            df, id_col="idx", w_col="w", h_col="h", buckets=[], batch_size=4
+        )
+    with pytest.raises(ValueError):
+        aspect_bucket_batches(
+            df, id_col="idx", w_col="w", h_col="h",
+            buckets=[(1, 1)], batch_size=0,
+        )
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff (CDC)
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff(spark):
+    """insert/delete/update classification with null-safe compare:
+    NULL->value and value->NULL are updates, NULL->NULL is unchanged,
+    unchanged keys are dropped, changed_cols is the sorted joined list."""
+    from oblate_spark.operators.cdc import snapshot_diff
+
+    base = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "b", None),
+            (3, None, 30.0),
+            (4, "d", 40.0),
+            (5, "e", None),
+        ],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10.0),        # unchanged -> dropped
+            (2, "b2", 20.0),       # update: s and v (NULL->20.0)
+            (3, None, None),       # update: v (30.0->NULL); s NULL==NULL
+            (5, "e", None),        # unchanged (NULL==NULL) -> dropped
+            (6, "f", 60.0),        # insert
+        ],
+        "k long, s string, v double",
+    )
+    rows = {
+        r["k"]: r
+        for r in snapshot_diff(base, new, key_cols=["k"]).collect()
+    }
+    assert set(rows) == {2, 3, 4, 6}
+    assert rows[2]["change_type"] == "update"
+    assert rows[2]["changed_cols"] == "s,v" and rows[2]["n_changed"] == 2
+    assert rows[3]["change_type"] == "update"
+    assert rows[3]["changed_cols"] == "v" and rows[3]["n_changed"] == 1
+    assert rows[4]["change_type"] == "delete" and rows[4]["changed_cols"] == ""
+    assert rows[6]["change_type"] == "insert" and rows[6]["n_changed"] == 0
+
+    with pytest.raises(ValueError):
+        snapshot_diff(base, new, key_cols=[])
+
+
+def test_snapshot_table_diff(spark, tmp_path):
+    """SnapshotTable.diff: change set between two committed snapshots
+    (works across a full rewrite, where read_incremental refuses)."""
+    from oblate_spark.sources.tableio import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    base = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "k long, s string"
+    )
+    sid1 = t.write(base)
+    new = spark.createDataFrame(
+        [(1, "x"), (2, "Y"), (4, "w")], "k long, s string"
+    )
+    sid2 = t.write(new)  # full rewrite
+    rows = {
+        r["k"]: r
+        for r in t.diff(sid1, sid2, key_cols=["k"]).collect()
+    }
+    assert rows[2]["change_type"] == "update" and rows[2]["changed_cols"] == "s"
+    assert rows[3]["change_type"] == "delete"
+    assert rows[4]["change_type"] == "insert"
+    assert 1 not in rows
+
+
+def test_dims_for_index_matches_make_row():
+    """dims_for_index is the no-encode manifest twin of make_row; they
+    must agree on (image_id, w, h) for every defect slot."""
+    from oblate_spark.fixtures import dims_for_index, make_row
+
+    idxs = list(range(60)) + list(range(498, 506)) + list(range(948, 1003))
+    idxs += [1510, 1777, 1943]
+    for i in idxs:
+        row = make_row(i)
+        assert dims_for_index(i) == (row["image_id"], row["w"], row["h"]), i

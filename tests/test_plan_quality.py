@@ -492,3 +492,57 @@ def test_rolling_features_single_shuffle_one_window(spark):
     assert sum(bool(re.match(r"\(\d+\) Window", n)) for n in nodes) == 1, nodes
     assert not any("Join" in n for n in nodes), nodes
     assert "EvalPython" not in plan
+
+
+def test_aspect_bucket_batches_sharded_window_no_bucket_serialization(spark):
+    """The batch-packing rank must window on (bucket_id, __shard) —
+    NEVER on bucket_id alone (≈10 buckets over 10^12 rows would put
+    10^11 rows in one window task). The offset table joins as a
+    broadcast; exactly one shuffle feeds the window."""
+    import re
+
+    from oblate_spark.operators.buckets import aspect_bucket_batches
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("idx"),
+        (F.col("id") % 97 + 100).cast("int").alias("w"),
+        (F.col("id") % 83 + 100).cast("int").alias("h"),
+    )
+    out = aspect_bucket_batches(
+        df, id_col="idx", w_col="w", h_col="h", batch_size=32, n_shards=16
+    )
+    plan = plan_of(out)
+    assert "EvalPython" not in plan
+    assert "Window" in plan
+    # the window's required ordering/partitioning must include the shard
+    assert "__shard" in plan, plan[:3000]
+    assert re.search(r"hashpartitioning\(bucket_id[^)]*__shard", plan), plan[:3000]
+    assert "BroadcastExchange" in plan  # bounded offset table
+    nodes = [l.strip() for l in plan.splitlines() if re.match(r"^\s*\(\d+\)", l)]
+    shuffles = [n for n in nodes if re.match(r"\(\d+\) Exchange", n)]
+    assert len(shuffles) == 1, shuffles
+
+
+def test_snapshot_diff_is_one_shuffle_join_no_python(spark):
+    """The CDC diff is ONE join (sort-merge at scale — neither side of
+    a table-vs-table diff is broadcastable) and pure codegen after it."""
+    import re
+
+    from oblate_spark.operators.cdc import snapshot_diff
+
+    base = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    new = base.withColumn(
+        "o_totalprice", F.col("o_totalprice") + (F.col("o_orderkey") % 7 == 0).cast("double")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = snapshot_diff(base, new, key_cols=["o_orderkey"])
+        plan = plan_of(out)
+        nodes = [l.strip() for l in plan.splitlines() if re.match(r"^\s*\(\d+\)", l)]
+        joins = [n for n in nodes if "Join" in n]
+        assert len(joins) == 1, joins
+        assert "SortMergeJoin" in plan, plan[:2500]
+        assert "EvalPython" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
