@@ -1219,6 +1219,67 @@ def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_FIDELITY = 1000
+
+
+def q_pixel_fidelity_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule per-row invariant, distributed: decoded-pixel
+    fidelity (exact-integer SSE + the log-free PSNR>=40dB gate) and
+    caption equality between an image table and its degraded twin.
+    The twin's perturbations are closed-form (LSB flip -> 48.13 dB
+    passes, MSB flip -> 5.99 dB fails, bad payloads undecodable), so
+    the oracle is a pure literal manifest."""
+    from oblate_spark import fixtures
+    from oblate_spark.operators.fidelity import pixel_fidelity
+
+    a = fixtures.build_indexed_images_df(spark, N_FIDELITY)
+    b = fixtures.build_degraded_images_df(spark, N_FIDELITY)
+    out = pixel_fidelity(
+        a, b, id_col="idx", bytes_col="bytes",
+        caption_col="caption", min_psnr_db=40.0,
+    )
+    return out.select(
+        "idx", "status", "both_decoded", "pixels_exact",
+        "psnr_ok", "sse", "n_px", "caption_equal",
+    )
+
+
+def _sql_pixel_fidelity() -> str:
+    """Literal expected-outcome manifest: per index, the encoded pixel
+    count and the closed-form perturbation category fully determine
+    every output column of the fidelity report."""
+    from oblate_spark import fixtures
+
+    rows = []
+    for i in range(N_FIDELITY):
+        _, w, h = fixtures.dims_for_index(i)
+        if fixtures.defect_for_index(i) == "dims_mismatch":
+            w -= 7  # declared w is encoded w + 7; decode sees encoded
+        cat = fixtures.fidelity_category_for_index(i)
+        cap_edit = "TRUE" if i % 10 == 9 else "FALSE"
+        rows.append(f"({i}, {w * h * 3}, '{cat}', {cap_edit})")
+    vals = ", ".join(rows)
+    return f"""
+        WITH m(idx, n_px, cat, cap_edit) AS (VALUES {vals})
+        SELECT idx::BIGINT AS idx,
+               CASE WHEN cat = 'undecodable' THEN 'undecodable'
+                    WHEN cat = 'msb_flip' THEN 'low_psnr'
+                    ELSE 'pass' END AS status,
+               (cat <> 'undecodable') AS both_decoded,
+               CASE WHEN cat = 'undecodable' THEN NULL
+                    ELSE cat = 'identical' END AS pixels_exact,
+               CASE WHEN cat = 'undecodable' THEN NULL
+                    ELSE cat <> 'msb_flip' END AS psnr_ok,
+               (CASE cat WHEN 'identical' THEN 0
+                         WHEN 'lsb_flip' THEN n_px
+                         WHEN 'msb_flip' THEN 16384 * n_px END)::BIGINT AS sse,
+               (CASE WHEN cat = 'undecodable' THEN NULL
+                     ELSE n_px END)::BIGINT AS n_px,
+               (NOT cap_edit) AS caption_equal
+        FROM m
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": q_validate_lineitem,
@@ -1281,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_split_documents": q_group_split_documents,
         "keep_best_canonical_documents": q_keep_best_canonical_documents,
         "token_rarity_documents": q_token_rarity_documents,
+        "pixel_fidelity_images": q_pixel_fidelity_images,
         "aspect_bucket_batches": q_aspect_bucket_batches,
         "snapshot_diff_orders": q_snapshot_diff_orders,
     }
@@ -2278,6 +2340,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         "aspect_bucket_batches": _sql_aspect_buckets(),
+        "pixel_fidelity_images": _sql_pixel_fidelity(),
         "snapshot_diff_orders": f"""
             WITH base AS (
                 SELECT o_orderkey::BIGINT AS k, o_totalprice AS p,

@@ -221,6 +221,111 @@ def write_images_table(
     return path
 
 
+INDEXED_IMAGES_SCHEMA = (
+    "idx bigint, image_id string, bytes binary, fmt string, caption string"
+)
+
+
+def fidelity_category_for_index(i: int) -> str:
+    """Closed-form manifest for the pixel-fidelity fixture pair: how
+    the degraded twin of row ``i`` differs from the original at the
+    decoded-pixel level. ``bad_bytes`` rows are undecodable on BOTH
+    sides (the twin carries an empty payload); otherwise every 10th
+    row gets its pixels' low bit flipped (sse == n_px exactly ->
+    PSNR 48.13 dB, passes the 40 dB gate) and another tenth the HIGH
+    bit (sse == 16384*n_px -> PSNR 5.99 dB, fails). Caption edits
+    (``i % 10 == 9``) are orthogonal to the pixel category."""
+    if defect_for_index(i) == "bad_bytes":
+        return "undecodable"
+    m = i % 10
+    if m == 3:
+        return "lsb_flip"
+    if m == 7:
+        return "msb_flip"
+    return "identical"
+
+
+def make_degraded_row(i: int, px: tuple[int, int] = DEFAULT_PX) -> dict:
+    """The fidelity twin of ``make_row(i)``: decode the ORIGINAL row's
+    payload, apply the closed-form pixel perturbation, re-encode in the
+    same (lossless) format — so 'identical' rows are pixel-exact even
+    when the bytes differ, which is precisely what the decoded-pixel
+    (not byte-level) fidelity contract must accept."""
+    from .functions.codecs import decode_image, detect_format, encode_image
+
+    base = make_row(i, px)
+    cat = fidelity_category_for_index(i)
+    caption = base["caption"]
+    if i % 10 == 9:
+        caption = (caption or "") + " edited"
+    if cat == "undecodable":
+        data = b""
+    else:
+        raw = bytes(base["bytes"])
+        # decode/re-encode by the payload's REAL format — the declared
+        # fmt column lies on bad_fmt defect slots ('gif'), by design
+        pixels = decode_image(raw)
+        if cat == "lsb_flip":
+            pixels = pixels ^ 1
+        elif cat == "msb_flip":
+            pixels = pixels ^ 0x80
+        data = encode_image(pixels, detect_format(raw))
+    return {
+        "idx": i,
+        "image_id": base["image_id"],
+        "bytes": bytearray(data),
+        "fmt": base["fmt"],
+        "caption": caption,
+    }
+
+
+def _build_indexed(spark: SparkSession, n_rows: int, row_fn, *, partitions, px):
+    import pandas as pd
+
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 8)
+
+    def gen(iterator):
+        for pdf in iterator:
+            yield pd.DataFrame([row_fn(int(i), px) for i in pdf["id"]])
+
+    return spark.range(0, n_rows, numPartitions=partitions).mapInPandas(
+        gen, INDEXED_IMAGES_SCHEMA
+    )
+
+
+def build_indexed_images_df(
+    spark: SparkSession, n_rows: int, *, partitions: int | None = None,
+    px: tuple[int, int] = DEFAULT_PX,
+) -> DataFrame:
+    """``build_images_df`` keyed by a unique ``idx`` (the fixture's
+    ``image_id`` is deliberately non-unique — dup-id defect slots — so
+    pairwise operators key on the index instead)."""
+
+    def row(i: int, p) -> dict:
+        r = make_row(i, p)
+        return {
+            "idx": i,
+            "image_id": r["image_id"],
+            "bytes": r["bytes"],
+            "fmt": r["fmt"],
+            "caption": r["caption"],
+        }
+
+    return _build_indexed(spark, n_rows, row, partitions=partitions, px=px)
+
+
+def build_degraded_images_df(
+    spark: SparkSession, n_rows: int, *, partitions: int | None = None,
+    px: tuple[int, int] = DEFAULT_PX,
+) -> DataFrame:
+    """The degraded twin table of :func:`build_indexed_images_df` —
+    distributed, deterministic, same idx keys."""
+    return _build_indexed(
+        spark, n_rows, make_degraded_row, partitions=partitions, px=px
+    )
+
+
 def expected_defect_counts(n_rows: int) -> dict[str, int]:
     counts: dict[str, int] = {}
     for i in range(n_rows):

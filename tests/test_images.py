@@ -207,3 +207,87 @@ def test_file_driven_kernel_max_files_subset(spark, images_df, tmp_path):
     rep = image_payload_report_from_files(spark, d, max_files=2)
     assert rep.count() == expect_rows
     assert 0 < expect_rows < images_df.count()
+
+
+def test_pixel_fidelity_statuses(spark):
+    """Hand-built pairs hit every status arm: bit-exact re-encode
+    passes, small noise passes the 40dB gate, heavy noise fails it,
+    dims mismatch and undecodable are flagged, missing ids surface as
+    missing_a/missing_b, caption equality is null-safe."""
+    import numpy as np
+
+    from oblate_spark.functions.codecs import encode_image
+    from oblate_spark.operators.fidelity import pixel_fidelity
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (8, 9, 3), dtype=np.uint8)
+    rows_a = [
+        (1, bytearray(encode_image(px, "bmp")), "cap"),
+        (2, bytearray(encode_image(px, "png")), None),
+        (3, bytearray(encode_image(px, "ppm")), "x"),
+        (4, bytearray(encode_image(px, "bmp")), "y"),
+        (5, bytearray(b"not an image"), "z"),
+        (6, bytearray(encode_image(px, "bmp")), "only in a"),
+    ]
+    rows_b = [
+        (1, bytearray(encode_image(px, "ppm")), "cap"),        # pixel-exact, other codec
+        (2, bytearray(encode_image(px ^ 1, "bmp")), "edited"), # 48dB pass; caption differs (NULL vs str)
+        (3, bytearray(encode_image(px ^ 0x80, "ppm")), "x"),   # 6dB fail
+        (4, bytearray(encode_image(px[:4], "bmp")), "y"),      # dims differ
+        (5, bytearray(encode_image(px, "bmp")), "z"),          # a undecodable
+        (7, bytearray(encode_image(px, "bmp")), "only in b"),
+    ]
+    a = spark.createDataFrame(rows_a, "idx long, bytes binary, caption string")
+    b = spark.createDataFrame(rows_b, "idx long, bytes binary, caption string")
+    out = {
+        r["idx"]: r
+        for r in pixel_fidelity(
+            a, b, id_col="idx", caption_col="caption"
+        ).collect()
+    }
+    n_px = 8 * 9 * 3
+    assert out[1]["status"] == "pass" and out[1]["pixels_exact"] is True
+    assert out[1]["sse"] == 0 and out[1]["n_px"] == n_px
+    assert out[1]["caption_equal"] is True
+    assert out[2]["status"] == "pass" and out[2]["pixels_exact"] is False
+    assert out[2]["sse"] == n_px and out[2]["psnr_ok"] is True
+    assert out[2]["caption_equal"] is False  # NULL vs 'edited'
+    assert out[3]["status"] == "low_psnr" and out[3]["sse"] == 16384 * n_px
+    assert out[3]["psnr_ok"] is False
+    assert out[4]["status"] == "dims_differ" and out[4]["sse"] is None
+    assert out[4]["both_decoded"] is True
+    assert out[5]["status"] == "undecodable" and out[5]["both_decoded"] is False
+    assert out[6]["status"] == "missing_b" and out[6]["caption_equal"] is None
+    assert out[7]["status"] == "missing_a"
+
+
+def test_degraded_fixture_matches_manifest(spark):
+    """The degraded twin's closed-form manifest holds end-to-end on a
+    300-row slice: category determines sse exactly (lsb -> n_px,
+    msb -> 16384*n_px, identical -> 0 even though the bytes may be a
+    different encoding)."""
+    from oblate_spark import fixtures
+    from oblate_spark.operators.fidelity import pixel_fidelity
+
+    n = 300
+    a = fixtures.build_indexed_images_df(spark, n)
+    b = fixtures.build_degraded_images_df(spark, n)
+    rows = {
+        r["idx"]: r
+        for r in pixel_fidelity(
+            a, b, id_col="idx", caption_col="caption"
+        ).collect()
+    }
+    assert len(rows) == n
+    for i in range(n):
+        cat = fixtures.fidelity_category_for_index(i)
+        r = rows[i]
+        if cat == "undecodable":
+            assert r["status"] == "undecodable", i
+        elif cat == "identical":
+            assert r["status"] == "pass" and r["sse"] == 0, i
+        elif cat == "lsb_flip":
+            assert r["status"] == "pass" and r["sse"] == r["n_px"], i
+        else:
+            assert r["status"] == "low_psnr" and r["sse"] == 16384 * r["n_px"], i
+        assert r["caption_equal"] == (i % 10 != 9), i
