@@ -1280,6 +1280,54 @@ def _sql_pixel_fidelity() -> str:
     """
 
 
+def q_compact_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table maintenance end-to-end: orders lands in 5 small-file delta
+    appends, ``compact()`` rewrites the chain into size-targeted files
+    as a new snapshot, and the post-compaction read must aggregate
+    IDENTICALLY to the raw table (exact bigint cents, min/max keys per
+    status). The tiny per-status aggregate is collected so the staging
+    directory can be removed before returning."""
+    import shutil
+    import tempfile
+
+    from oblate_spark.sources.tableio import SnapshotTable
+
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="oblate_compact_")
+    try:
+        t = SnapshotTable(spark, tmp)
+        t.write(o.filter(F.col("o_orderkey") % 5 == 0).repartition(4))
+        for r in range(1, 5):
+            t.append(o.filter(F.col("o_orderkey") % 5 == r).repartition(4))
+        sid = t.compact(target_file_bytes=1 << 30)
+        assert sid is not None, "compaction should apply to a 20-file chain"
+        agg = (
+            t.read(sid)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("sum_cents"),
+                F.min("o_orderkey").cast("bigint").alias("min_key"),
+                F.max("o_orderkey").cast("bigint").alias("max_key"),
+            )
+        )
+        rows = [
+            (r["o_orderstatus"], r["n"], r["sum_cents"], r["min_key"], r["max_key"])
+            for r in agg.collect()  # bounded: one row per order status
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "o_orderstatus string, n bigint, sum_cents bigint, "
+        "min_key bigint, max_key bigint",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": q_validate_lineitem,
@@ -1343,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keep_best_canonical_documents": q_keep_best_canonical_documents,
         "token_rarity_documents": q_token_rarity_documents,
         "pixel_fidelity_images": q_pixel_fidelity_images,
+        "compact_roundtrip_orders": q_compact_roundtrip_orders,
         "aspect_bucket_batches": q_aspect_bucket_batches,
         "snapshot_diff_orders": q_snapshot_diff_orders,
     }
@@ -2341,6 +2390,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "aspect_bucket_batches": _sql_aspect_buckets(),
         "pixel_fidelity_images": _sql_pixel_fidelity(),
+        "compact_roundtrip_orders": """
+            SELECT o_orderstatus,
+                   count(*)::BIGINT AS n,
+                   sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents,
+                   min(o_orderkey)::BIGINT AS min_key,
+                   max(o_orderkey)::BIGINT AS max_key
+            FROM orders GROUP BY o_orderstatus
+        """,
         "snapshot_diff_orders": f"""
             WITH base AS (
                 SELECT o_orderkey::BIGINT AS k, o_totalprice AS p,

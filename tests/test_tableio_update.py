@@ -622,3 +622,40 @@ def test_append_additive_schema_evolution(spark, tmp_path):
             spark.createDataFrame([(5, 1, 0.1)], "id long, name long, quality double"),
             allow_new_columns=True,
         )
+
+
+def test_snapshot_compact(spark, tmp_path):
+    """Many tiny appends -> compact rewrites into few size-targeted
+    files with content preserved exactly; time travel to the
+    pre-compaction snapshot still works; a second compact is a no-op;
+    properties record the rewrite provenance."""
+    from oblate_spark.sources.tableio import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    rows = [(i, f"v{i}") for i in range(1000)]
+    first = spark.createDataFrame(rows[:200], "k long, s string").repartition(4)
+    t.write(first)
+    for lo in range(200, 1000, 200):
+        chunk = spark.createDataFrame(rows[lo:lo + 200], "k long, s string")
+        t.append(chunk.repartition(4))
+    pre_sid = t.current_snapshot_id()
+    n_files_before = len(t._list_data_files(t._chain_dirs(t._read_manifest(), pre_sid)))
+    assert n_files_before >= 20
+
+    sid = t.compact(target_file_bytes=1 << 30)  # everything into 1 file
+    assert sid is not None
+    m = t._read_manifest()
+    snap = [s for s in m["snapshots"] if s["id"] == sid][0]
+    assert snap["operation"] == "compact"
+    assert snap["properties"]["files_before"] == n_files_before
+    assert snap["properties"]["compacted_from_snapshot"] == pre_sid
+    n_files_after = len(t._list_data_files(t._chain_dirs(m, sid)))
+    assert n_files_after == 1
+
+    got = sorted((r["k"], r["s"]) for r in t.read().collect())
+    assert got == rows
+    # time travel to before the compaction still assembles the chain
+    pre = sorted((r["k"], r["s"]) for r in t.read(pre_sid).collect())
+    assert pre == rows
+    # already compact -> no-op
+    assert t.compact(target_file_bytes=1 << 30) is None
