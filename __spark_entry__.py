@@ -1280,6 +1280,43 @@ def _sql_pixel_fidelity() -> str:
     """
 
 
+WPSI_LO, WPSI_HI, WPSI_BINS = 0.0, 500.0, 16
+
+
+def q_windowed_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitoring, oracle-visible: per-hour PSI of
+    events.value against the table's own global distribution, via the
+    SAME windowed bin-count reduction the streaming monitor runs under
+    readStream+watermark (drift_stream.windowed_bin_counts — batch and
+    stream agree exactly on the same data). The per-window scoring is
+    driver-side arithmetic over the windows x nbins sink stream — the
+    operator's documented consumption pattern."""
+    from oblate_spark.operators.drift import bin_expr
+    from oblate_spark.streaming.drift_stream import (
+        psi_per_window,
+        windowed_bin_counts,
+    )
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    counts = windowed_bin_counts(
+        ev, col="value", ts_col="ts", lo=WPSI_LO, hi=WPSI_HI,
+        nbins=WPSI_BINS, window="1 hour", watermark="2 hours",
+    )
+    rows = counts.select("window_start", "bin", "cnt").collect()
+    # frozen reference = the global distribution (exact count ratios)
+    ref_rows = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(bin_expr(F.col("value"), WPSI_LO, WPSI_HI, WPSI_BINS).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )  # bounded: <= nbins rows
+    ref_total = float(sum(r["cnt"] for r in ref_rows)) or 1.0
+    ref_probs = {int(r["bin"]): r["cnt"] / ref_total for r in ref_rows}
+    scores = psi_per_window(rows, ref_probs, nbins=WPSI_BINS, eps=PSI_EPS)
+    out = [(w, float(f"{v:.6f}")) for w, v in scores.items()]
+    return spark.createDataFrame(out, "hour_start timestamp, psi double")
+
+
 def q_compact_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table maintenance end-to-end: orders lands in 5 small-file delta
     appends, ``compact()`` rewrites the chain into size-targeted files
@@ -1392,6 +1429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_rarity_documents": q_token_rarity_documents,
         "pixel_fidelity_images": q_pixel_fidelity_images,
         "compact_roundtrip_orders": q_compact_roundtrip_orders,
+        "windowed_psi_events": q_windowed_psi_events,
         "aspect_bucket_batches": q_aspect_bucket_batches,
         "snapshot_diff_orders": q_snapshot_diff_orders,
     }
@@ -2390,6 +2428,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "aspect_bucket_batches": _sql_aspect_buckets(),
         "pixel_fidelity_images": _sql_pixel_fidelity(),
+        "windowed_psi_events": f"""
+            WITH v AS (
+                SELECT date_trunc('hour', ts) AS h,
+                       greatest(0, least({WPSI_BINS - 1},
+                           floor((value - {WPSI_LO}) / {(WPSI_HI - WPSI_LO) / WPSI_BINS})))::BIGINT AS bin
+                FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+            ref AS (SELECT bin, count(*)::DOUBLE AS cnt FROM v GROUP BY bin),
+            wb AS (SELECT h, bin, count(*)::DOUBLE AS cnt FROM v GROUP BY h, bin),
+            wt AS (SELECT h, sum(cnt) AS t FROM wb GROUP BY h),
+            bins AS (SELECT unnest(generate_series(0, {WPSI_BINS - 1}))::BIGINT AS bin),
+            grid AS (SELECT wt.h, wt.t, b.bin FROM wt CROSS JOIN bins b),
+            probs AS (
+                SELECT g.h,
+                       greatest(coalesce(wb.cnt, 0) / g.t, {PSI_EPS}) AS pa,
+                       greatest(coalesce(r.cnt, 0)
+                                / (SELECT sum(cnt) FROM ref), {PSI_EPS}) AS pe
+                FROM grid g
+                LEFT JOIN wb ON wb.h = g.h AND wb.bin = g.bin
+                LEFT JOIN ref r ON r.bin = g.bin)
+            SELECT h AS hour_start,
+                   round(sum((pa - pe) * ln(pa / pe)), 6)::DOUBLE AS psi
+            FROM probs GROUP BY h
+        """,
         "compact_roundtrip_orders": """
             SELECT o_orderstatus,
                    count(*)::BIGINT AS n,
