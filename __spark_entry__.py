@@ -1281,6 +1281,28 @@ def _sql_pixel_fidelity() -> str:
 
 
 WPSI_LO, WPSI_HI, WPSI_BINS = 0.0, 500.0, 16
+OUTLIER_DIST = 1.0  # embeddings' centroid distances straddle 1.0 at sf0.01
+
+
+def q_centroid_outliers_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding label-noise triage: exact-integer squared distance to
+    the own-class centroid (grid-snapped), outliers flagged past 1.0 —
+    distances at sf0.01 straddle the threshold so both arms are
+    exercised. Everything up to the display sqrt is BIGINT."""
+    from oblate_spark.operators.similarity import centroid_distance_outliers
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = centroid_distance_outliers(
+        emb, id_col="vec_id", vec_col="embedding", label_col="label",
+        threshold=OUTLIER_DIST,
+    )
+    return out.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("label").cast("int").alias("label"),
+        "dist2_q",
+        "dist",
+        "is_outlier",
+    )
 
 
 def q_windowed_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1430,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pixel_fidelity_images": q_pixel_fidelity_images,
         "compact_roundtrip_orders": q_compact_roundtrip_orders,
         "windowed_psi_events": q_windowed_psi_events,
+        "centroid_outliers_embeddings": q_centroid_outliers_embeddings,
         "aspect_bucket_batches": q_aspect_bucket_batches,
         "snapshot_diff_orders": q_snapshot_diff_orders,
     }
@@ -2428,6 +2451,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "aspect_bucket_batches": _sql_aspect_buckets(),
         "pixel_fidelity_images": _sql_pixel_fidelity(),
+        "centroid_outliers_embeddings": f"""
+            WITH ex AS (
+                SELECT vec_id, label,
+                       unnest(range(len(embedding))) AS dim,
+                       unnest(embedding) AS val
+                FROM embeddings WHERE embedding IS NOT NULL),
+            q AS (SELECT vec_id, label, dim,
+                         floor(val::DOUBLE * 1000000)::BIGINT AS q
+                  FROM ex),
+            cent AS (
+                SELECT label, dim,
+                       floor(sum(q)::DOUBLE / count(*)::DOUBLE)::BIGINT AS c_q
+                FROM q GROUP BY label, dim),
+            d AS (
+                SELECT vec_id, q.label,
+                       sum((q - c_q) * (q - c_q))::BIGINT AS dist2_q
+                FROM q JOIN cent ON cent.label = q.label AND cent.dim = q.dim
+                GROUP BY vec_id, q.label)
+            SELECT vec_id::BIGINT AS vec_id, label::INT AS label, dist2_q,
+                   sqrt(dist2_q::DOUBLE) / 1000000.0 AS dist,
+                   (dist2_q::DOUBLE > {(OUTLIER_DIST * 1_000_000.0) ** 2}) AS is_outlier
+            FROM d
+        """,
         "windowed_psi_events": f"""
             WITH v AS (
                 SELECT date_trunc('hour', ts) AS h,

@@ -24,6 +24,7 @@ __all__ = [
     "ivf_bucket_candidate_pairs",
     "knn_bruteforce_pandas",
     "label_centroids",
+    "centroid_distance_outliers",
 ]
 
 
@@ -394,4 +395,90 @@ def label_centroids(
             F.sum("q").cast("double")
             / (F.count(F.lit(1)) * F.lit(int(scale))).cast("double")
         ).alias("centroid"),
+    )
+
+
+def centroid_distance_outliers(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    threshold: float,
+    scale: int = 1_000_000,
+    max_broadcast_entries: int = 20_000_000,
+) -> DataFrame:
+    """Per-vector squared distance to its OWN class centroid, with an
+    outlier flag — the embedding-space label-noise / OOD triage signal:
+    a vector far from its class prototype is a mislabel or an
+    out-of-distribution sample, and at training-corpus scale this is
+    the cheap first filter before any human or model-based relabeling.
+
+    Exactness: the centroid is snapped to the quantization grid
+    (``c_q = floor(sum_q / n)`` per dim, on :func:`label_centroids`'
+    exact BIGINT sums), so the distance is the exact integer
+    ``dist2_q = sum_d (q_d - c_q_d)^2`` in grid units — hash-identical
+    in any engine, unlike any float-accumulated distance. The flag is
+    ``dist2_q > (threshold*scale)^2`` with the right side one IEEE
+    double product. Headroom: per-dim diff^2 * dims must stay under
+    2^63 (|component| * scale below ~1e8 at 64 dims) and |sum_q| below
+    2^53 for the double-division floor — both orders of magnitude past
+    real embedding corpora.
+
+    Output: (id, label, dist2_q bigint, dist double, is_outlier bool);
+    ``dist`` is the one double sqrt back in input units (display only —
+    the flag never consults it).
+
+    Distribution: centroids are (n_labels x dims) rows — broadcast to
+    the second pass while under ``max_broadcast_entries``, else a
+    shuffle join on (label, dim) (labels can be user-ids; same guard
+    pattern as tfidf). Two passes over the exploded vectors (centroid
+    agg + distance agg), both map-side-combining hash aggregates; at
+    100 TB persist the slim (id, label, dim, q) projection between
+    them."""
+    cents = label_centroids(
+        df, vec_col=vec_col, label_col=label_col, scale=scale
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("sum_q").cast("double") / F.col("n").cast("double"))
+        .cast("bigint")
+        .alias("c_q"),
+    )
+    n_entries = cents.count()  # bounded: one scalar over the slim table
+    ex = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col)).alias("dim", "val"),
+        )
+        .select(
+            F.col(id_col),
+            "label",
+            F.col("dim").cast("int").alias("dim"),
+            F.floor(F.col("val").cast("double") * F.lit(float(scale)))
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+    joined = ex.join(
+        F.broadcast(cents) if n_entries <= max_broadcast_entries else cents,
+        ["label", "dim"],
+    )
+    d = F.col("q") - F.col("c_q")
+    per_vec = joined.groupBy(id_col, "label").agg(
+        F.sum(d * d).alias("dist2_q")
+    )
+    thr_q = float(threshold) * float(scale)
+    return per_vec.select(
+        F.col(id_col),
+        "label",
+        F.col("dist2_q").cast("bigint").alias("dist2_q"),
+        (F.sqrt(F.col("dist2_q").cast("double")) / F.lit(float(scale))).alias(
+            "dist"
+        ),
+        (F.col("dist2_q").cast("double") > F.lit(thr_q * thr_q)).alias(
+            "is_outlier"
+        ),
     )

@@ -1316,3 +1316,49 @@ def test_dims_for_index_matches_make_row():
     for i in idxs:
         row = make_row(i)
         assert dims_for_index(i) == (row["image_id"], row["w"], row["h"]), i
+
+
+def test_centroid_distance_outliers(spark):
+    """Hand case: two labels; within label 1 one vector sits far from
+    the centroid and crosses the threshold, the near ones do not.
+    dist2_q is the exact grid-unit integer (verified against a numpy
+    recomputation with the same floor-quantization)."""
+    import numpy as np
+
+    from oblate_spark.operators.similarity import centroid_distance_outliers
+
+    vecs = {
+        1: ([0.0, 0.0], 10),
+        2: ([0.1, -0.1], 10),
+        3: ([3.0, 4.0], 10),   # far from label-10 centroid
+        4: ([1.0, 1.0], 20),
+        5: ([1.0, 1.0], 20),
+    }
+    df = spark.createDataFrame(
+        [(k, v, l) for k, (v, l) in vecs.items()],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in centroid_distance_outliers(
+            df, id_col="vec_id", vec_col="embedding", label_col="label",
+            threshold=2.0,
+        ).collect()
+    }
+    # numpy reference with identical quantization
+    scale = 1_000_000
+    by_label: dict = {}
+    q = {}
+    for k, (v, l) in vecs.items():
+        q[k] = np.floor(np.array(v, dtype=np.float32).astype(np.float64) * scale).astype(np.int64)
+        by_label.setdefault(l, []).append(q[k])
+    cq = {l: np.floor(np.sum(np.stack(a), axis=0) / len(a)).astype(np.int64) for l, a in by_label.items()}
+    for k, (v, l) in vecs.items():
+        d = q[k] - cq[l]
+        want = int(np.sum(d * d))
+        assert out[k]["dist2_q"] == want, (k, out[k]["dist2_q"], want)
+        assert out[k]["is_outlier"] == (want > (2.0 * scale) ** 2), k
+    assert out[3]["is_outlier"] is True
+    assert out[1]["is_outlier"] is False and out[4]["is_outlier"] is False
+    # identical vectors sit exactly on their centroid
+    assert out[4]["dist2_q"] == 0 and out[5]["dist2_q"] == 0
