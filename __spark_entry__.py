@@ -1339,6 +1339,53 @@ def q_windowed_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out, "hour_start timestamp, psi double")
 
 
+SKIP_LO, SKIP_HI = 10_000, 19_999  # narrow o_orderkey audit range
+
+
+def q_skip_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan planning with data skipping, end-to-end: orders lands
+    range-clustered with manifest column stats; ``read_range`` must
+    open only the files whose [min,max] overlap the audit range (the
+    in-query assert pins that pruning really happened) and aggregate
+    identically to a plain SQL WHERE over the raw table."""
+    import shutil
+    import tempfile
+
+    from oblate_spark.sources.tableio import SnapshotTable
+
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="oblate_skip_")
+    try:
+        t = SnapshotTable(spark, tmp)
+        t.write(o.repartitionByRange(8, "o_orderkey"), stats_cols=["o_orderkey"])
+        m = t._read_manifest()
+        kept, total = t._plan_range_files(
+            m, t._chain_sids(m, m["current"]), "o_orderkey", SKIP_LO, SKIP_HI
+        )
+        assert len(kept) < total, "stats failed to prune a range-clustered table"
+        agg = (
+            t.read_range("o_orderkey", SKIP_LO, SKIP_HI)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+        )
+        rows = [
+            (r["o_orderstatus"], r["n"], r["sum_cents"])
+            for r in agg.collect()  # bounded: one row per order status
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n bigint, sum_cents bigint"
+    )
+
+
 def q_compact_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table maintenance end-to-end: orders lands in 5 small-file delta
     appends, ``compact()`` rewrites the chain into size-targeted files
@@ -1451,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_rarity_documents": q_token_rarity_documents,
         "pixel_fidelity_images": q_pixel_fidelity_images,
         "compact_roundtrip_orders": q_compact_roundtrip_orders,
+        "skip_scan_orders": q_skip_scan_orders,
         "windowed_psi_events": q_windowed_psi_events,
         "centroid_outliers_embeddings": q_centroid_outliers_embeddings,
         "aspect_bucket_batches": q_aspect_bucket_batches,
@@ -2496,6 +2544,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT h AS hour_start,
                    round(sum((pa - pe) * ln(pa / pe)), 6)::DOUBLE AS psi
             FROM probs GROUP BY h
+        """,
+        "skip_scan_orders": f"""
+            SELECT o_orderstatus,
+                   count(*)::BIGINT AS n,
+                   sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+            FROM orders
+            WHERE o_orderkey BETWEEN {SKIP_LO} AND {SKIP_HI}
+            GROUP BY o_orderstatus
         """,
         "compact_roundtrip_orders": """
             SELECT o_orderstatus,

@@ -91,6 +91,57 @@ class SnapshotTable:
     def _snap_dir(self, snapshot_id: int) -> str:
         return os.path.join(self.path, f"snap-{snapshot_id:08d}")
 
+    def _collect_file_stats(
+        self, snap_dir: str, stats_cols: Sequence[str]
+    ) -> Optional[dict]:
+        """Per-data-file min/max for ``stats_cols`` from the parquet
+        FOOTERS (pyarrow metadata — kilobytes per file, no data read),
+        merged across row groups. This is the Iceberg manifest-stats
+        analogue that makes scan planning skip files. Only JSON-safe
+        stat values (int/float/str) are recorded; a column with missing
+        or exotic stats is simply not prunable for that file. Returns
+        None when footers are unreachable (non-local FS without pyarrow
+        support) — callers must treat absent stats as 'scan it'."""
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover - pyarrow is baked in
+            return None
+        wanted = set(stats_cols)
+        out: dict = {}
+        try:
+            for name in sorted(os.listdir(snap_dir)):
+                if not name.endswith(".parquet") or name.startswith("."):
+                    continue
+                md = pq.ParquetFile(os.path.join(snap_dir, name)).metadata
+                agg: dict = {}
+                for rg in range(md.num_row_groups):
+                    row = md.row_group(rg)
+                    for ci in range(row.num_columns):
+                        c = row.column(ci)
+                        col = c.path_in_schema
+                        if col not in wanted:
+                            continue
+                        st = c.statistics
+                        if st is None or not st.has_min_max:
+                            agg[col] = None  # unknown -> unprunable
+                            continue
+                        mn, mx = st.min, st.max
+                        if not all(
+                            isinstance(v, (int, float, str)) for v in (mn, mx)
+                        ):
+                            agg[col] = None
+                            continue
+                        if col in agg and agg[col] is None:
+                            continue
+                        if col in agg:
+                            agg[col] = [min(agg[col][0], mn), max(agg[col][1], mx)]
+                        else:
+                            agg[col] = [mn, mx]
+                out[name] = {k: v for k, v in agg.items() if v is not None}
+        except (OSError, ValueError):
+            return None
+        return out
+
     def write(
         self,
         df: DataFrame,
@@ -98,6 +149,7 @@ class SnapshotTable:
         operation: str = "overwrite",
         properties: Optional[dict] = None,
         delta: bool = False,
+        stats_cols: Optional[Sequence[str]] = None,
     ) -> int:
         """Commit ``df`` as a new snapshot; returns the snapshot id.
 
@@ -126,6 +178,11 @@ class SnapshotTable:
             # (O(1) metadata per append, not O(chain length))
             "schema": {f.name: f.dataType.simpleString() for f in df.schema.fields},
         }
+        if stats_cols:
+            fstats = self._collect_file_stats(snap_dir, stats_cols)
+            if fstats is not None:
+                entry["file_stats"] = fstats
+                entry["stats_cols"] = list(stats_cols)
         if delta:
             entry["delta"] = True
         manifest["snapshots"].append(entry)
@@ -139,6 +196,7 @@ class SnapshotTable:
         *,
         properties: Optional[dict] = None,
         allow_new_columns: bool = False,
+        stats_cols: Optional[Sequence[str]] = None,
     ) -> int:
         """Commit ``df`` as a DELTA snapshot: only the new rows are
         written; the snapshot's logical content is parent content + new
@@ -164,7 +222,10 @@ class SnapshotTable:
         commit, exactly as in Iceberg."""
         manifest = self._read_manifest()
         if manifest["current"] is None:
-            return self.write(df, operation="append", properties=properties)
+            return self.write(
+                df, operation="append", properties=properties,
+                stats_cols=stats_cols,
+            )
         by_id = {s["id"]: s for s in manifest["snapshots"]}
         current = by_id[manifest["current"]].get("schema")
         if current is None:
@@ -189,7 +250,10 @@ class SnapshotTable:
                    else "")
                 + ")"
             )
-        return self.write(df, operation="append", properties=properties, delta=True)
+        return self.write(
+            df, operation="append", properties=properties, delta=True,
+            stats_cols=stats_cols,
+        )
 
     def _chain_dirs(self, m: dict, sid: int) -> list[str]:
         """Parquet dirs making up snapshot ``sid``'s logical content:
@@ -244,6 +308,81 @@ class SnapshotTable:
         if sid not in known:
             raise ValueError(f"unknown snapshot id {sid} (known: {sorted(known)})")
         return self._scan(m, self._chain_sids(m, sid))
+
+    def _plan_range_files(
+        self, m: dict, sids: list[int], col: str, lo, hi
+    ) -> tuple[list[str], int]:
+        """Scan planning with data skipping: the chain's data files,
+        minus every file whose recorded [min, max] for ``col`` provably
+        misses [lo, hi]. Files (or whole snapshots) without stats are
+        kept — stats only ever PRUNE, never decide membership. Returns
+        (surviving file paths, total file count)."""
+        by_id = {s["id"]: s for s in m["snapshots"]}
+        kept: list[str] = []
+        total = 0
+        for sid in sids:
+            d = self._snap_dir(sid)
+            fstats = by_id[sid].get("file_stats") or {}
+            for path, _sz in self._list_data_files([d]):
+                total += 1
+                st = fstats.get(path.rsplit("/", 1)[-1], {}).get(col)
+                if st is not None:
+                    mn, mx = st
+                    if (lo is not None and mx < lo) or (
+                        hi is not None and mn > hi
+                    ):
+                        continue  # provably disjoint -> skip the file
+                kept.append(path)
+        return kept, total
+
+    def read_range(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        *,
+        snapshot_id: Optional[int] = None,
+    ) -> DataFrame:
+        """``read().filter(lo <= col <= hi)`` with FILE SKIPPING: data
+        files whose manifest min/max (recorded by ``write(...,
+        stats_cols=[col])``, Iceberg manifest-stats parity) provably
+        miss the range are never opened. On a range-clustered table
+        (ingest sorted or ``repartitionByRange`` by the column) a
+        narrow range touches O(selectivity) files instead of the whole
+        chain — the difference between a point-in-time audit query
+        costing seconds vs a full 100 TB scan. The exact row filter is
+        ALWAYS applied on top, so stats (or their absence) can never
+        change results, only I/O. ``lo``/``hi`` are inclusive; None
+        leaves that side unbounded."""
+        from pyspark.sql import functions as F
+
+        if lo is None and hi is None:
+            raise ValueError("read_range needs at least one bound")
+        m = self._read_manifest()
+        sid = snapshot_id if snapshot_id is not None else m["current"]
+        if sid is None:
+            raise FileNotFoundError(f"table {self.path} has no committed snapshot")
+        sids = self._chain_sids(m, sid)
+        files, _total = self._plan_range_files(m, sids, col, lo, hi)
+        if not files:
+            base = self.read(sid).limit(0)
+        else:
+            by_id = {s["id"]: s for s in m["snapshots"]}
+            schemas = [by_id[s].get("schema") for s in sids]
+            uniform = len(sids) == 1 or (
+                all(sc is not None for sc in schemas)
+                and all(sc == schemas[0] for sc in schemas)
+            )
+            reader = self.spark.read
+            if not uniform:
+                reader = reader.option("mergeSchema", "true")
+            base = reader.parquet(*files)
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(col) <= F.lit(hi))
+        return base.filter(cond)
 
     def read_incremental(
         self, *, from_snapshot: int, to_snapshot: Optional[int] = None

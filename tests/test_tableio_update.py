@@ -659,3 +659,52 @@ def test_snapshot_compact(spark, tmp_path):
     assert pre == rows
     # already compact -> no-op
     assert t.compact(target_file_bytes=1 << 30) is None
+
+
+def test_read_range_file_skipping(spark, tmp_path):
+    """Range-clustered writes + manifest stats: a narrow key range must
+    open strictly fewer files than the chain holds, while returning
+    exactly what a full-scan filter returns; appends without stats stay
+    unprunable (correctness never depends on stats presence)."""
+    from pyspark.sql import functions as F
+    from oblate_spark.sources.tableio import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    t.write(df.repartitionByRange(8, "k"), stats_cols=["k"])
+    # delta append WITH stats, disjoint key range
+    extra = spark.range(100_000, 110_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    t.append(extra.repartitionByRange(4, "k"), stats_cols=["k"])
+    # delta append WITHOUT stats -> its files are always scanned
+    blind = spark.range(200_000, 200_100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    t.append(blind.repartition(2))
+
+    m = t._read_manifest()
+    sids = t._chain_sids(m, m["current"])
+    kept, total = t._plan_range_files(m, sids, "k", 2_000, 2_999)
+    assert total == 14
+    # the narrow range hits ~1 of the 8 range-partitioned base files;
+    # the disjoint append's 4 files are all pruned; the stat-less 2 stay
+    assert len(kept) <= 2 + 2 and len(kept) < total
+
+    got = sorted(r["k"] for r in t.read_range("k", 2_000, 2_999).collect())
+    want = sorted(
+        r["k"]
+        for r in t.read().filter(F.col("k").between(2_000, 2_999)).collect()
+    )
+    assert got == want == list(range(2_000, 3_000))
+    # the Spark scan actually opened only the planned files
+    assert len(t.read_range("k", 2_000, 2_999).inputFiles()) == len(kept)
+    # unbounded side + empty result
+    assert t.read_range("k", lo=300_000).count() == 0
+    assert t.read_range("k", lo=None, hi=-1).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.read_range("k")
