@@ -1434,6 +1434,135 @@ def q_compact_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_schema_evolution_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution end-to-end: even-key orders land with
+    o_orderkey committed as INT; odd-key orders then append with
+    o_orderkey as BIGINT plus an added `flag` column
+    (allow_type_widening + allow_new_columns, Iceberg promotion
+    parity). The evolved-chain read must serve the pre-evolution int32
+    files through the widened bigint schema, surface NULL flags for
+    them, and aggregate IDENTICALLY to a plain SQL pass over the raw
+    table with the same even/odd split."""
+    import shutil
+    import tempfile
+
+    from oblate_spark.sources.tableio import SnapshotTable
+
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    tmp = tempfile.mkdtemp(prefix="oblate_evolve_")
+    try:
+        t = SnapshotTable(spark, tmp)
+        t.write(
+            o.filter(F.col("o_orderkey") % 2 == 0)
+            .select(F.col("o_orderkey").cast("int").alias("o_orderkey"),
+                    "o_orderstatus")
+            .repartition(4)
+        )
+        t.append(
+            o.filter(F.col("o_orderkey") % 2 == 1)
+            .withColumn("flag", F.lit("late"))
+            .repartition(4),
+            allow_type_widening=True,
+            allow_new_columns=True,
+        )
+        got = t.read()
+        assert got.schema["o_orderkey"].dataType.simpleString() == "bigint", (
+            "chain read must surface the widened type"
+        )
+        agg = got.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_key"),
+            F.count("flag").cast("bigint").alias("n_flagged"),
+        )
+        rows = [
+            (r["o_orderstatus"], r["n"], r["sum_key"], r["n_flagged"])
+            for r in agg.collect()  # bounded: one row per order status
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n bigint, sum_key bigint, n_flagged bigint"
+    )
+
+
+def q_cross_table_ship_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table row constraint: a lineitem may not ship more than
+    90 days after its parent order was placed. One equi-join + codegen
+    filter; violations carry the day gap as evidence."""
+    from oblate_spark.operators.stats import cross_table_violations
+
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    return cross_table_violations(
+        li,
+        o,
+        fact_key="l_orderkey",
+        dim_key="o_orderkey",
+        must_hold=lambda f, d: F.datediff(
+            F.to_date(f["l_shipdate"]), F.to_date(d["o_orderdate"])
+        )
+        <= 90,
+        row_cols=[
+            "l_orderkey",
+            "l_linenumber",
+            F.datediff(
+                F.to_date(F.col("l_shipdate")), F.to_date(F.col("o_orderdate"))
+            )
+            .cast("int")
+            .alias("gap_days"),
+        ],
+    )
+
+
+def q_correlation_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer Pearson correlations over lineitem: quantity vs
+    price-in-cents, discount vs tax (basis points), quantity vs
+    discount — one full-width aggregate for all three pairs."""
+    from oblate_spark.operators.stats import correlation_profile
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_quantity")).cast("bigint").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.floor(F.col("l_discount") * 10000).cast("bigint").alias("disc_bp"),
+        F.floor(F.col("l_tax") * 10000).cast("bigint").alias("tax_bp"),
+    )
+    return correlation_profile(
+        li, [("qty", "cents"), ("disc_bp", "tax_bp"), ("qty", "disc_bp")]
+    )
+
+
+def q_entropy_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of lineitem's three categorical columns —
+    the profile signal for constant-collapse / id-explosion."""
+    from oblate_spark.operators.stats import categorical_entropy
+
+    li = _read(spark, sf_dir, "lineitem")
+    return categorical_entropy(li, ["l_returnflag", "l_linestatus", "l_suppkey"])
+
+
+def q_suggest_constraints_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint suggestion over orders: propose not_null / unique /
+    value_set / range checks from one profiling pass — the reference's
+    declare-then-validate loop with the declaration half inferred."""
+    from oblate_spark.operators.stats import suggest_constraints
+
+    o = _read(spark, sf_dir, "orders")
+    return suggest_constraints(
+        o,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+        max_value_set=10,
+    )
+
+
+def q_volume_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day ingest-volume anomaly flags over events — exact-integer
+    (c·n−S)² > k²·(n·Q−S²) gate, every bucket reported."""
+    from oblate_spark.operators.drift import volume_anomalies
+
+    ev = _read(spark, sf_dir, "events")
+    return volume_anomalies(ev, "ts", k=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": q_validate_lineitem,
@@ -1499,6 +1628,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pixel_fidelity_images": q_pixel_fidelity_images,
         "compact_roundtrip_orders": q_compact_roundtrip_orders,
         "skip_scan_orders": q_skip_scan_orders,
+        "schema_evolution_orders": q_schema_evolution_orders,
+        "cross_table_ship_gap": q_cross_table_ship_gap,
+        "correlation_profile_lineitem": q_correlation_profile_lineitem,
+        "entropy_profile_lineitem": q_entropy_profile_lineitem,
+        "suggest_constraints_orders": q_suggest_constraints_orders,
+        "volume_anomalies_events": q_volume_anomalies_events,
         "windowed_psi_events": q_windowed_psi_events,
         "centroid_outliers_embeddings": q_centroid_outliers_embeddings,
         "aspect_bucket_batches": q_aspect_bucket_batches,
@@ -2552,6 +2687,166 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_orderkey BETWEEN {SKIP_LO} AND {SKIP_HI}
             GROUP BY o_orderstatus
+        """,
+        "schema_evolution_orders": """
+            SELECT o_orderstatus,
+                   count(*)::BIGINT AS n,
+                   sum(o_orderkey)::BIGINT AS sum_key,
+                   sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_flagged
+            FROM orders
+            GROUP BY o_orderstatus
+        """,
+        "cross_table_ship_gap": """
+            SELECT l_orderkey, l_linenumber,
+                   date_diff('day', o_orderdate::DATE, l_shipdate::DATE)::INT
+                       AS gap_days
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE date_diff('day', o_orderdate::DATE, l_shipdate::DATE) > 90
+        """,
+        "correlation_profile_lineitem": """
+            WITH s AS (
+                SELECT floor(l_quantity)::BIGINT AS q,
+                       floor(l_extendedprice * 100)::BIGINT AS c,
+                       floor(l_discount * 10000)::BIGINT AS d,
+                       floor(l_tax * 10000)::BIGINT AS t
+                FROM lineitem
+            ), a AS (
+                SELECT count(*)::DOUBLE AS n,
+                       sum(q)::DOUBLE AS sq, sum(c)::DOUBLE AS sc,
+                       sum(d)::DOUBLE AS sd, sum(t)::DOUBLE AS st,
+                       sum(q*q)::DOUBLE AS sqq, sum(c*c)::DOUBLE AS scc,
+                       sum(d*d)::DOUBLE AS sdd, sum(t*t)::DOUBLE AS stt,
+                       sum(q*c)::DOUBLE AS sqc, sum(d*t)::DOUBLE AS sdt,
+                       sum(q*d)::DOUBLE AS sqd
+                FROM s
+            )
+            SELECT 'qty' AS x, 'cents' AS y, n::BIGINT AS n,
+                   round((n*sqc - sq*sc)
+                         / sqrt((n*sqq - sq*sq) * (n*scc - sc*sc)), 6) AS corr
+            FROM a
+            UNION ALL
+            SELECT 'disc_bp', 'tax_bp', n::BIGINT,
+                   round((n*sdt - sd*st)
+                         / sqrt((n*sdd - sd*sd) * (n*stt - st*st)), 6)
+            FROM a
+            UNION ALL
+            SELECT 'qty', 'disc_bp', n::BIGINT,
+                   round((n*sqd - sq*sd)
+                         / sqrt((n*sqq - sq*sq) * (n*sdd - sd*sd)), 6)
+            FROM a
+        """,
+        "entropy_profile_lineitem": """
+            WITH rf AS (
+                SELECT count(*)::BIGINT AS cnt FROM lineitem
+                WHERE l_returnflag IS NOT NULL GROUP BY l_returnflag
+            ), ls AS (
+                SELECT count(*)::BIGINT AS cnt FROM lineitem
+                WHERE l_linestatus IS NOT NULL GROUP BY l_linestatus
+            ), sm AS (
+                SELECT count(*)::BIGINT AS cnt FROM lineitem
+                WHERE l_suppkey IS NOT NULL GROUP BY l_suppkey
+            )
+            SELECT 'l_returnflag' AS "column", count(*)::BIGINT AS n_values,
+                   sum(cnt)::BIGINT AS n_rows,
+                   round(ln(sum(cnt)::DOUBLE)
+                         - sum(cnt::DOUBLE * ln(cnt::DOUBLE))
+                           / sum(cnt)::DOUBLE, 6) AS entropy
+            FROM rf
+            UNION ALL
+            SELECT 'l_linestatus', count(*)::BIGINT, sum(cnt)::BIGINT,
+                   round(ln(sum(cnt)::DOUBLE)
+                         - sum(cnt::DOUBLE * ln(cnt::DOUBLE))
+                           / sum(cnt)::DOUBLE, 6)
+            FROM ls
+            UNION ALL
+            SELECT 'l_suppkey', count(*)::BIGINT, sum(cnt)::BIGINT,
+                   round(ln(sum(cnt)::DOUBLE)
+                         - sum(cnt::DOUBLE * ln(cnt::DOUBLE))
+                           / sum(cnt)::DOUBLE, 6)
+            FROM sm
+        """,
+        "volume_anomalies_events": """
+            WITH c AS (
+                SELECT date_trunc('day', ts)::TIMESTAMP AS bucket_start,
+                       count(*)::BIGINT AS n_rows
+                FROM events GROUP BY 1
+            ), s AS (
+                SELECT count(*)::BIGINT AS n, sum(n_rows)::BIGINT AS sm,
+                       sum(n_rows * n_rows)::BIGINT AS q
+                FROM c
+            )
+            SELECT bucket_start, n_rows,
+                   ((n_rows * n - sm) * (n_rows * n - sm))
+                       > (4 * (n * q - sm * sm)) AS is_anomaly
+            FROM c, s
+        """,
+        "suggest_constraints_orders": """
+            WITH p AS (
+                SELECT count(*)::BIGINT AS n,
+                       count(o_orderkey)::BIGINT AS nn_k,
+                       count(DISTINCT o_orderkey)::BIGINT AS d_k,
+                       min(o_orderkey)::BIGINT AS mn_k,
+                       max(o_orderkey)::BIGINT AS mx_k,
+                       count(o_custkey)::BIGINT AS nn_c,
+                       count(DISTINCT o_custkey)::BIGINT AS d_c,
+                       min(o_custkey)::BIGINT AS mn_c,
+                       max(o_custkey)::BIGINT AS mx_c,
+                       count(o_orderstatus)::BIGINT AS nn_s,
+                       count(DISTINCT o_orderstatus)::BIGINT AS d_s,
+                       count(o_orderpriority)::BIGINT AS nn_p,
+                       count(DISTINCT o_orderpriority)::BIGINT AS d_p
+                FROM orders
+            )
+            SELECT 'o_orderkey' AS "column", 'not_null' AS code,
+                   'o_orderkey IS NOT NULL' AS expression
+            FROM p WHERE nn_k = n AND n > 0
+            UNION ALL
+            SELECT 'o_orderkey', 'unique', 'o_orderkey IS UNIQUE'
+            FROM p WHERE nn_k > 0 AND d_k = nn_k
+            UNION ALL
+            SELECT 'o_orderkey', 'range',
+                   'o_orderkey BETWEEN ' || mn_k || ' AND ' || mx_k
+            FROM p WHERE nn_k > 0
+            UNION ALL
+            SELECT 'o_custkey', 'not_null', 'o_custkey IS NOT NULL'
+            FROM p WHERE nn_c = n AND n > 0
+            UNION ALL
+            SELECT 'o_custkey', 'unique', 'o_custkey IS UNIQUE'
+            FROM p WHERE nn_c > 0 AND d_c = nn_c
+            UNION ALL
+            SELECT 'o_custkey', 'range',
+                   'o_custkey BETWEEN ' || mn_c || ' AND ' || mx_c
+            FROM p WHERE nn_c > 0
+            UNION ALL
+            SELECT 'o_orderstatus', 'not_null', 'o_orderstatus IS NOT NULL'
+            FROM p WHERE nn_s = n AND n > 0
+            UNION ALL
+            SELECT 'o_orderstatus', 'unique', 'o_orderstatus IS UNIQUE'
+            FROM p WHERE nn_s > 0 AND d_s = nn_s
+            UNION ALL
+            SELECT 'o_orderstatus', 'value_set',
+                   'o_orderstatus IN ('
+                   || (SELECT string_agg('''' || v || '''', ', ' ORDER BY v)
+                       FROM (SELECT DISTINCT o_orderstatus AS v FROM orders
+                             WHERE o_orderstatus IS NOT NULL))
+                   || ')'
+            FROM p WHERE 0 < d_s AND d_s <= 10
+            UNION ALL
+            SELECT 'o_orderpriority', 'not_null',
+                   'o_orderpriority IS NOT NULL'
+            FROM p WHERE nn_p = n AND n > 0
+            UNION ALL
+            SELECT 'o_orderpriority', 'unique', 'o_orderpriority IS UNIQUE'
+            FROM p WHERE nn_p > 0 AND d_p = nn_p
+            UNION ALL
+            SELECT 'o_orderpriority', 'value_set',
+                   'o_orderpriority IN ('
+                   || (SELECT string_agg('''' || v || '''', ', ' ORDER BY v)
+                       FROM (SELECT DISTINCT o_orderpriority AS v FROM orders
+                             WHERE o_orderpriority IS NOT NULL))
+                   || ')'
+            FROM p WHERE 0 < d_p AND d_p <= 10
         """,
         "compact_roundtrip_orders": """
             SELECT o_orderstatus,

@@ -36,6 +36,7 @@ __all__ = [
     "drift_report",
     "tdigest_quantiles",
     "grouped_tdigest_quantiles",
+    "volume_anomalies",
 ]
 
 
@@ -523,3 +524,46 @@ def image_table_drift_report(
         "caption_drifted": cap_psi > psi_threshold,
         "fmt_drifted": fmt_psi > psi_threshold,
     }
+
+
+def volume_anomalies(
+    df,
+    ts_col: str,
+    *,
+    k: int = 3,
+) -> "DataFrame":
+    """Ingest-volume anomaly detection: bucket rows per day and flag
+    buckets whose count deviates more than ``k`` standard deviations
+    from the table's own per-bucket mean — the "did a feed die /
+    double-fire" monitor that row-level checks cannot see. Output:
+    (bucket_start, n_rows, is_anomaly) for EVERY bucket.
+
+    The k·σ gate is EXACT-INTEGER (same contract as the PSNR and
+    centroid-distance gates): with per-bucket counts c_i, n buckets,
+    S=Σc, Q=Σc², flag iff (c·n − S)² > k²·(n·Q − S²) — the |c−μ|>kσ
+    inequality cleared of division and sqrt, so there is no float on
+    either side and an oracle reproduces it bit-for-bit. BIGINTs hold
+    to ~10^9 rows/bucket at ~10^3 buckets; beyond that cast the three
+    products to DECIMAL(38,0).
+
+    Scale: one map-side-combined groupBy(day) to |buckets| rows, one
+    3-scalar global fold broadcast back (literal join of a 1-row
+    frame) — the table is scanned once; everything after is O(buckets).
+    """
+    day = F.date_trunc("day", F.col(ts_col)).alias("bucket_start")
+    counts = df.groupBy(day).agg(F.count(F.lit(1)).alias("n_rows"))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("n_rows").alias("__s"),
+        F.sum(F.col("n_rows") * F.col("n_rows")).alias("__q"),
+    )
+    j = counts.crossJoin(F.broadcast(stats))
+    lhs = F.col("n_rows") * F.col("__n") - F.col("__s")
+    rhs = F.lit(int(k) * int(k)) * (
+        F.col("__n") * F.col("__q") - F.col("__s") * F.col("__s")
+    )
+    return j.select(
+        "bucket_start",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        ((lhs * lhs) > rhs).alias("is_anomaly"),
+    )

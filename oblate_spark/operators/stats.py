@@ -35,6 +35,10 @@ __all__ = [
     "referential_violations",
     "functional_dependency_violations",
     "null_implication_violations",
+    "cross_table_violations",
+    "correlation_profile",
+    "categorical_entropy",
+    "suggest_constraints",
 ]
 
 
@@ -393,4 +397,211 @@ def null_implication_violations(
             ).alias("message"),
             F.col(then_null).cast("string").alias("value_repr"),
         )
+    )
+
+
+def cross_table_violations(
+    fact: DataFrame,
+    dim: DataFrame,
+    *,
+    fact_key: str,
+    dim_key: str,
+    must_hold,
+    row_cols: Sequence,
+) -> DataFrame:
+    """Row-level constraints SPANNING two tables: each fact row is
+    checked against its parent dim row and rows where ``must_hold``
+    fails come back as violations (the reference's per-field validator
+    contract lifted across a join — e.g. "a lineitem may not ship more
+    than 90 days after its order was placed", "an image row's caption
+    language must match its document's language").
+
+    ``must_hold(fact, dim) -> Column`` builds the constraint from the
+    two frames (so same-named columns stay unambiguous); ``row_cols``
+    are the output columns (plain names resolve against the join,
+    Columns pass through for computed evidence like the day gap).
+
+    Scale: ONE equi-join on the key — Catalyst picks broadcast when
+    the dim fits (AQE re-plans at runtime), sort-merge otherwise, and
+    the NOT-predicate filter runs inside the join's codegen stage.
+    Rows with no parent are NOT reported here (that is
+    ``referential_violations``' job); an inner join keeps the two
+    failure modes separate, exactly like the reference's per-check
+    error codes."""
+    joined = fact.join(dim, fact[fact_key] == dim[dim_key], "inner")
+    cond = must_hold(fact, dim)
+    return joined.filter(~cond).select(
+        *[c if not isinstance(c, str) else F.col(c) for c in row_cols]
+    )
+
+
+def correlation_profile(
+    df: DataFrame,
+    pairs: Sequence[tuple[str, str]],
+) -> DataFrame:
+    """Pearson correlation per column pair, computed from EXACT integer
+    sums — (x, y, n, corr) per pair. The input columns must be
+    integer-valued (scale floats yourself: cents, grid units); sums
+    accumulate as DECIMAL(38,0) so they are exact at any row count, and
+    only the final closed-form formula drops to IEEE doubles — the same
+    exact-sums-then-float contract as the PSNR and centroid-distance
+    gates, making the result reproducible across engines (an oracle can
+    mirror it bit-for-bit) where a streaming co-moment fold is not.
+
+    Scale: ONE full-width hash aggregate for ALL pairs together (6
+    algebraic sums per pair, map-side combined) — a 100 TB table is one
+    scan regardless of how many pairs are profiled, vs ``df.stat.corr``
+    which plans one job per pair."""
+    aggs = []
+    for i, (x, y) in enumerate(pairs):
+        xd = F.col(x).cast("decimal(38,0)")
+        yd = F.col(y).cast("decimal(38,0)")
+        both = F.col(x).isNotNull() & F.col(y).isNotNull()
+        aggs += [
+            F.count(F.when(both, 1)).alias(f"n_{i}"),
+            F.sum(F.when(both, xd)).alias(f"sx_{i}"),
+            F.sum(F.when(both, yd)).alias(f"sy_{i}"),
+            F.sum(F.when(both, xd * xd)).alias(f"sxx_{i}"),
+            F.sum(F.when(both, yd * yd)).alias(f"syy_{i}"),
+            F.sum(F.when(both, xd * yd)).alias(f"sxy_{i}"),
+        ]
+    wide = df.agg(*aggs)
+    # finish per-pair in ONE projection over the single wide row, then
+    # stack-unpivot to (x, y, n, corr) — no union of selects (each
+    # branch would re-plan the aggregate subtree) and no second pass.
+    finals = []
+    for i in range(len(pairs)):
+        n = F.col(f"n_{i}").cast("double")
+        sx = F.col(f"sx_{i}").cast("double")
+        sy = F.col(f"sy_{i}").cast("double")
+        sxx = F.col(f"sxx_{i}").cast("double")
+        syy = F.col(f"syy_{i}").cast("double")
+        sxy = F.col(f"sxy_{i}").cast("double")
+        finals.append(F.col(f"n_{i}").cast("bigint").alias(f"nn_{i}"))
+        finals.append(
+            F.round(
+                (n * sxy - sx * sy)
+                / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                6,
+            ).alias(f"corr_{i}")
+        )
+    stacked = ", ".join(
+        f"'{x}', '{y}', nn_{i}, corr_{i}" for i, (x, y) in enumerate(pairs)
+    )
+    return wide.select(*finals).selectExpr(
+        f"stack({len(pairs)}, {stacked}) as (x, y, n, corr)"
+    )
+
+
+def categorical_entropy(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Shannon entropy (nats) of each categorical column — (column,
+    n_values, n_rows, entropy) — the data-profiling signal for "did
+    this column collapse to a constant / explode into an id" that
+    min/max/null-rate cannot see. NULLs are excluded (entropy of the
+    observed distribution).
+
+    Computed as ln(n) - Σ(cnt·ln cnt)/n from per-value counts, in ONE
+    pass for ALL columns: explode each row into (column, stringified
+    value) pairs inside the scan stage, then two hash aggregates —
+    per-(column,value) counts (map-side combined, so the shuffle
+    carries per-partition distinct counts, not rows) and the tiny
+    per-column fold over |distinct| rows. One scan regardless of how
+    many columns are profiled — at 100 TB the scan IS the cost, and a
+    per-column loop would multiply it. Values are compared stringified
+    (bijective for the primitive types this profiles, so counts are
+    unchanged). Rounded to 6 dp for cross-engine reproducibility (ln
+    is correctly rounded in practice on both JVM and libm; the
+    rounding absorbs the remaining ulp)."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"), F.col(c).cast("string").alias("v")
+            )
+            for c in cols
+        ]
+    )
+    counts = (
+        df.select(F.explode(pairs).alias("e"))
+        .select("e.column", "e.v")
+        .filter(F.col("v").isNotNull())
+        .groupBy("column", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return counts.groupBy("column").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.round(
+            F.log(F.sum("cnt").cast("double"))
+            - F.sum(F.col("cnt").cast("double") * F.log(F.col("cnt").cast("double")))
+            / F.sum("cnt").cast("double"),
+            6,
+        ).alias("entropy"),
+    )
+
+
+def suggest_constraints(
+    df: DataFrame,
+    cols: Optional[Sequence[str]] = None,
+    *,
+    max_value_set: int = 10,
+) -> DataFrame:
+    """Constraint SUGGESTION: profile the table once and propose the
+    checks a user would then enforce — (column, code, expression) rows.
+    The profiling half of the reference's declare-then-validate loop
+    (you read the data's actual shape, then pin it as a Schema):
+
+    - ``not_null``   — column has zero NULLs
+    - ``unique``     — distinct == non-null count (and any non-nulls)
+    - ``value_set``  — ≤ ``max_value_set`` distinct values: suggests
+      the reference's `fields.Literal(...)` / IN-list
+    - ``range``      — integer-typed columns: BETWEEN observed min/max
+      (the reference's `validate.Range`); restricted to integer types
+      so the rendered bounds are textually exact
+
+    Scale: ONE full-width aggregate for n/non-null/min/max of every
+    column plus one single-distinct aggregate per column (crossJoined
+    1-row frames — never a multi-distinct Expand, see column_profile),
+    then a ≤``max_value_set``-row distinct collect per qualifying
+    column. Driver work is O(n_cols · max_value_set) scalars — bounded
+    and collected deliberately; the table itself is scanned, never
+    collected."""
+    if cols is None:
+        cols = df.columns
+    int_types = {"tinyint", "smallint", "int", "bigint"}
+    dtypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"{c}__nn"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"{c}__min"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"{c}__max"))
+    wide = df.agg(*aggs)
+    for c in cols:
+        wide = wide.crossJoin(
+            df.agg(F.count_distinct(F.col(c)).alias(f"{c}__distinct"))
+        )
+    p = wide.collect()[0]  # bounded: one wide row of per-column scalars
+    n = p["__n"]
+    out: list[tuple] = []
+    for c in cols:
+        nn, d = p[f"{c}__nn"], p[f"{c}__distinct"]
+        if nn == n and n > 0:
+            out.append((c, "not_null", f"{c} IS NOT NULL"))
+        if nn > 0 and d == nn:
+            out.append((c, "unique", f"{c} IS UNIQUE"))
+        if 0 < d <= max_value_set:
+            vals = sorted(
+                r[0]
+                for r in df.select(F.col(c).cast("string"))
+                .filter(F.col(c).isNotNull())
+                .distinct()
+                .collect()  # bounded: d <= max_value_set rows
+            )
+            quoted = ", ".join(f"'{v}'" for v in vals)
+            out.append((c, "value_set", f"{c} IN ({quoted})"))
+        if nn > 0 and dtypes.get(c) in int_types:
+            out.append(
+                (c, "range", f"{c} BETWEEN {p[f'{c}__min']} AND {p[f'{c}__max']}")
+            )
+    return df.sparkSession.createDataFrame(
+        out, "column string, code string, expression string"
     )

@@ -38,6 +38,27 @@ from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["SnapshotTable", "SnapshotInfo"]
 
+# Iceberg's legal type promotions (spec §Schema Evolution): widening
+# only, never lossy. Key = (from, to) in Spark simpleString names. The
+# integer chain and float->double are the promotions Spark's parquet
+# vectorized reader can serve directly from narrower files when handed
+# the wider requested schema (SPARK-40876), which is what lets an
+# evolved chain stay a single multi-file scan with no rewrite.
+_WIDENINGS = frozenset(
+    [
+        ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+        ("smallint", "int"), ("smallint", "bigint"),
+        ("int", "bigint"),
+        ("float", "double"),
+    ]
+)
+
+
+def _schema_ddl(schema: dict) -> str:
+    """Recorded per-snapshot schema dict -> DDL string for an explicit
+    `spark.read.schema(...)` — column order preserved as committed."""
+    return ", ".join(f"`{name}` {typ}" for name, typ in schema.items())
+
 
 @dataclass
 class SnapshotInfo:
@@ -196,6 +217,7 @@ class SnapshotTable:
         *,
         properties: Optional[dict] = None,
         allow_new_columns: bool = False,
+        allow_type_widening: bool = False,
         stats_cols: Optional[Sequence[str]] = None,
     ) -> int:
         """Commit ``df`` as a DELTA snapshot: only the new rows are
@@ -218,8 +240,17 @@ class SnapshotTable:
         on top of the full current schema; the snapshot records the
         widened schema and reads merge the chain's footers, surfacing
         NULL for the new columns on pre-evolution rows. Dropping or
-        retyping columns is always rejected — those need a rewrite
-        commit, exactly as in Iceberg."""
+        retyping columns is rejected, with two Iceberg-parity
+        exceptions: a batch column NARROWER than the table's (int into
+        a bigint column) is silently upcast at write time — a safe cast
+        Iceberg writers also perform — and ``allow_type_widening=True``
+        permits the batch to WIDEN a column along Iceberg's legal
+        promotions (tinyint→…→bigint, float→double, spec §Schema
+        Evolution); the snapshot records the widened schema and chain
+        reads hand the parquet reader that wider requested schema, so
+        pre-evolution files are served via SPARK-40876 widening reads —
+        no rewrite. Anything else (lossy or cross-family retype) still
+        needs a rewrite commit, exactly as in Iceberg."""
         manifest = self._read_manifest()
         if manifest["current"] is None:
             return self.write(
@@ -241,14 +272,50 @@ class SnapshotTable:
             k: (current[k], batch[k]) for k in current if k in batch and current[k] != batch[k]
         }
         added = {k: v for k, v in batch.items() if k not in current}
-        if missing or retyped or (added and not allow_new_columns):
+        # classify retypes: batch narrower than table -> safe write-time
+        # upcast (no evolution, no flag); table->batch a legal widening
+        # -> schema evolution (gated); anything else -> reject.
+        upcast = {k for k, (t, b) in retyped.items() if (b, t) in _WIDENINGS}
+        widened = {
+            k for k, (t, b) in retyped.items() if (t, b) in _WIDENINGS
+        }
+        bad_retyped = {
+            k: v for k, v in retyped.items()
+            if k not in upcast and k not in widened
+        }
+        if (
+            missing
+            or bad_retyped
+            or (widened and not allow_type_widening)
+            or (added and not allow_new_columns)
+        ):
+            hints = []
+            if added and not missing and not bad_retyped:
+                hints.append(
+                    f", added: {sorted(added)} — pass allow_new_columns=True "
+                    "for additive evolution"
+                )
+            if widened and not allow_type_widening and not missing and not bad_retyped:
+                hints.append(
+                    f", widened: {sorted(widened)} — pass "
+                    "allow_type_widening=True for type promotion"
+                )
             raise ValueError(
                 "append schema mismatch vs table "
                 f"(table: {sorted(current.items())}, batch: {sorted(batch.items())}"
-                + (f", added: {sorted(added)} — pass allow_new_columns=True "
-                   "for additive evolution" if added and not missing and not retyped
-                   else "")
+                + "".join(hints)
                 + ")"
+            )
+        if upcast:
+            from pyspark.sql import functions as F
+
+            df = df.select(
+                *[
+                    F.col(f.name).cast(current[f.name]).alias(f.name)
+                    if f.name in upcast
+                    else F.col(f.name)
+                    for f in df.schema.fields
+                ]
             )
         return self.write(
             df, operation="append", properties=properties, delta=True,
@@ -277,13 +344,17 @@ class SnapshotTable:
             cur = s["parent"]
         return sids
 
-    def _scan(self, m: dict, sids: list[int]) -> DataFrame:
-        """Multi-path scan over the snapshots' dirs. When the chain
-        spans an additive schema evolution (recorded per-snapshot
-        schemas differ, or a legacy snapshot has none on a multi-dir
-        chain), footers are schema-merged so pre-evolution rows surface
-        NULL for added columns instead of the whole range silently
-        resolving to whichever file the reader samples first."""
+    def _evolved_reader(self, m: dict, sids: list[int]):
+        """Reader configured for the chain's schema history. Uniform
+        chain -> plain reader (footer of any file is authoritative).
+        Evolved chain with recorded schemas -> the TARGET snapshot's
+        recorded schema (``sids[0]``; appends only ever add or widen,
+        so it is the widest in its chain) passed as the explicit
+        requested schema: pre-evolution files surface NULL for added
+        columns and are widening-read for promoted ones (SPARK-40876)
+        — mergeSchema cannot do the latter (int/bigint footers refuse
+        to merge). Legacy chains missing recorded schemas keep the old
+        mergeSchema behavior (additive-only, as before)."""
         by_id = {s["id"]: s for s in m["snapshots"]}
         schemas = [by_id[s].get("schema") for s in sids]
         uniform = (
@@ -293,7 +364,16 @@ class SnapshotTable:
         )
         reader = self.spark.read
         if not uniform:
-            reader = reader.option("mergeSchema", "true")
+            if schemas[0] is not None:
+                reader = reader.schema(_schema_ddl(schemas[0]))
+            else:
+                reader = reader.option("mergeSchema", "true")
+        return reader
+
+    def _scan(self, m: dict, sids: list[int]) -> DataFrame:
+        """Multi-path scan over the snapshots' dirs; schema evolution
+        (added or widened columns) resolved by ``_evolved_reader``."""
+        reader = self._evolved_reader(m, sids)
         return reader.parquet(*[self._snap_dir(s) for s in sids])
 
     def read(self, snapshot_id: Optional[int] = None) -> DataFrame:
@@ -367,16 +447,7 @@ class SnapshotTable:
         if not files:
             base = self.read(sid).limit(0)
         else:
-            by_id = {s["id"]: s for s in m["snapshots"]}
-            schemas = [by_id[s].get("schema") for s in sids]
-            uniform = len(sids) == 1 or (
-                all(sc is not None for sc in schemas)
-                and all(sc == schemas[0] for sc in schemas)
-            )
-            reader = self.spark.read
-            if not uniform:
-                reader = reader.option("mergeSchema", "true")
-            base = reader.parquet(*files)
+            base = self._evolved_reader(m, sids).parquet(*files)
         cond = F.lit(True)
         if lo is not None:
             cond = cond & (F.col(col) >= F.lit(lo))
@@ -505,6 +576,55 @@ class SnapshotTable:
             key_cols=key_cols,
             compare_cols=compare_cols,
         )
+
+    def schema_changes(
+        self, from_snapshot: int, to_snapshot: Optional[int] = None
+    ) -> list[dict]:
+        """Schema drift between two snapshots, from the per-snapshot
+        schema RECORDS alone (manifest-only — zero Spark jobs, zero
+        footer reads): a list of {column, change, from_type, to_type}
+        with change ∈ {added, widened, retyped, dropped}. The table's
+        evolution history is queryable the same way its data history is
+        — "when did this column appear / grow to bigint" needs no data
+        access. ``append()`` can only produce added/widened; dropped or
+        retyped entries mean a full ``write()`` overwrite changed the
+        shape between the two snapshots — a report-worthy fact, not an
+        error (drift reports report; validation rejects)."""
+        m = self._read_manifest()
+        to_sid = to_snapshot if to_snapshot is not None else m["current"]
+        by_id = {s["id"]: s for s in m["snapshots"]}
+        for sid in (from_snapshot, to_sid):
+            if sid not in by_id:
+                raise ValueError(f"unknown snapshot id {sid}")
+        old = by_id[from_snapshot].get("schema")
+        new = by_id[to_sid].get("schema")
+        if old is None or new is None:
+            raise ValueError(
+                "schema_changes needs per-snapshot schema records; "
+                "legacy snapshots predate them — re-commit to heal"
+            )
+        out: list[dict] = []
+        for col, typ in new.items():
+            if col not in old:
+                out.append(
+                    {"column": col, "change": "added",
+                     "from_type": None, "to_type": typ}
+                )
+            elif old[col] != typ:
+                kind = (
+                    "widened" if (old[col], typ) in _WIDENINGS else "retyped"
+                )
+                out.append(
+                    {"column": col, "change": kind,
+                     "from_type": old[col], "to_type": typ}
+                )
+        for col in old:
+            if col not in new:
+                out.append(
+                    {"column": col, "change": "dropped",
+                     "from_type": old[col], "to_type": None}
+                )
+        return out
 
     def rollback(self, snapshot_id: int) -> None:
         """Point the table back at an earlier snapshot (data retained)."""

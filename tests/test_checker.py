@@ -69,3 +69,21 @@ def test_typed_columns_normalize_across_engines():
         _DUCK_TYPES,
     )
     assert spark_side == duck_side
+
+
+def test_unknown_selection_fails_not_vacuous():
+    """Regression: `check_correctness.py --only foo,bar` used to match
+    nothing and print ALL OK — a typo'd selection must exit non-zero,
+    never vacuously pass (the local gate may not be weaker than the
+    driver's)."""
+    import subprocess
+    import sys
+
+    p = subprocess.run(
+        [sys.executable, "tools/check_correctness.py", "--only", "nope"],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert p.returncode != 0
+    assert "unknown query name" in (p.stderr + p.stdout)

@@ -1362,3 +1362,133 @@ def test_centroid_distance_outliers(spark):
     assert out[1]["is_outlier"] is False and out[4]["is_outlier"] is False
     # identical vectors sit exactly on their centroid
     assert out[4]["dist2_q"] == 0 and out[5]["dist2_q"] == 0
+
+
+def test_cross_table_violations(spark):
+    """Constraint spans tables: child rows failing the joined predicate
+    come back; orphans are NOT reported (referential check's job)."""
+    from pyspark.sql import functions as F
+    from oblate_spark.operators.stats import cross_table_violations
+
+    fact = spark.createDataFrame(
+        [(1, 10, 95), (2, 10, 50), (3, 20, 91), (4, 99, 200)],
+        "fid long, key long, gap long",
+    )
+    dim = spark.createDataFrame([(10, 0), (20, 0)], "dkey long, base long")
+    out = cross_table_violations(
+        fact,
+        dim,
+        fact_key="key",
+        dim_key="dkey",
+        must_hold=lambda f, d: (f["gap"] - d["base"]) <= 90,
+        row_cols=["fid", F.col("gap").alias("evidence")],
+    )
+    got = {(r["fid"], r["evidence"]) for r in out.collect()}
+    # fid=4 is an orphan (key 99): excluded, not a cross-table violation
+    assert got == {(1, 95), (3, 91)}
+
+
+def test_correlation_profile_exact(spark):
+    """Pearson from exact integer sums: perfect +/-1 lines and a known
+    hand-computed value; null pairs excluded from n."""
+    from oblate_spark.operators.stats import correlation_profile
+
+    df = spark.createDataFrame(
+        [(1, 2, -1, 1), (2, 4, -2, 2), (3, 6, -3, None), (4, 8, -4, 5)],
+        "a long, b long, c long, d long",
+    )
+    out = {
+        (r["x"], r["y"]): (r["n"], r["corr"])
+        for r in correlation_profile(
+            df, [("a", "b"), ("a", "c"), ("a", "d")]
+        ).collect()
+    }
+    assert out[("a", "b")] == (4, 1.0)
+    assert out[("a", "c")] == (4, -1.0)
+    n, corr = out[("a", "d")]
+    assert n == 3  # null d row excluded
+    # hand check: points (1,1),(2,2),(4,5) -> corr = 0.993399 (6dp)
+    import math
+    sx, sy, sxx, syy, sxy = 7, 8, 21, 30, 25
+    expect = round((3 * sxy - sx * sy) / math.sqrt((3 * sxx - sx * sx) * (3 * syy - sy * sy)), 6)
+    assert corr == expect
+
+
+def test_categorical_entropy(spark):
+    """Uniform 4-way split -> ln(4); constant column -> 0; NULLs
+    excluded from the distribution."""
+    import math
+    from oblate_spark.operators.stats import categorical_entropy
+
+    df = spark.createDataFrame(
+        [("a", "k"), ("b", "k"), ("c", "k"), ("d", None)] * 3,
+        "u string, v string",
+    )
+    out = {r["column"]: r for r in categorical_entropy(df, ["u", "v"]).collect()}
+    assert out["u"]["n_values"] == 4 and out["u"]["n_rows"] == 12
+    assert out["u"]["entropy"] == round(math.log(4), 6)
+    assert out["v"]["n_values"] == 1 and out["v"]["n_rows"] == 9
+    assert out["v"]["entropy"] == 0.0
+
+
+def test_suggest_constraints(spark):
+    """Profile-to-suggestion rules: not_null only when zero NULLs,
+    unique on distinct==non-null, value_set quotes the sorted domain,
+    range only for integer-typed columns."""
+    from oblate_spark.operators.stats import suggest_constraints
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10, 1.5),
+            (2, "b", 10, 2.5),
+            (3, "a", None, 3.5),
+            (4, None, 20, 4.5),
+        ],
+        "id long, cat string, v long, f double",
+    )
+    got = {
+        (r["column"], r["code"]): r["expression"]
+        for r in suggest_constraints(df, max_value_set=3).collect()
+    }
+    assert got[("id", "not_null")] == "id IS NOT NULL"
+    assert got[("id", "unique")] == "id IS UNIQUE"
+    assert got[("id", "range")] == "id BETWEEN 1 AND 4"
+    # cat: has a NULL -> no not_null; 2 distinct <= 3 -> value_set over
+    # non-null domain; dup 'a' -> no unique
+    assert ("cat", "not_null") not in got
+    assert ("cat", "unique") not in got
+    assert got[("cat", "value_set")] == "cat IN ('a', 'b')"
+    # v: NULL present, dup among non-nulls -> no unique; int range holds
+    assert ("v", "not_null") not in got
+    assert got[("v", "range")] == "v BETWEEN 10 AND 20"
+    assert got[("v", "value_set")] == "v IN ('10', '20')"
+    # f: double -> never a range rule; all distinct -> unique
+    assert ("f", "range") not in got
+    assert got[("f", "unique")] == "f IS UNIQUE"
+
+
+def test_volume_anomalies_exact_gate(spark):
+    """Exact-integer k-sigma volume gate: a spiked day is flagged,
+    steady days are not, and the inequality matches the float math."""
+    import datetime as dt
+    from pyspark.sql import functions as F
+    from oblate_spark.operators.drift import volume_anomalies
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    counts = [100, 101, 99, 100, 500, 100, 98]  # day 5 spikes
+    for d, c in enumerate(counts):
+        rows += [(base + dt.timedelta(days=d, seconds=i),) for i in range(c)]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = {
+        r["bucket_start"].day: (r["n_rows"], r["is_anomaly"])
+        for r in volume_anomalies(df, "ts", k=2).collect()
+    }
+    assert out[5] == (500, True)
+    assert all(not flag for day, (_, flag) in out.items() if day != 5)
+    # float cross-check of the integer inequality
+    import statistics
+    mu = statistics.mean(counts)
+    sd = statistics.pstdev(counts)
+    for day, (n, flag) in out.items():
+        assert flag == (abs(n - mu) > 2 * sd)

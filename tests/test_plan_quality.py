@@ -546,3 +546,67 @@ def test_snapshot_diff_is_one_shuffle_join_no_python(spark):
         assert "EvalPython" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _node_counts(plan: str):
+    """Physical-node histogram from formatted-explain detail headers
+    ("(3) HashAggregate" lines appear exactly once per node — the tree
+    section would double-count)."""
+    import collections
+    import re
+
+    return collections.Counter(re.findall(r"^\(\d+\) (\w+)", plan, re.M))
+
+
+def test_correlation_profile_single_aggregate_no_expand(spark):
+    """All pairs' sums must come from ONE aggregate over ONE scan —
+    no multi-distinct Expand, no union re-planning the agg subtree."""
+    from oblate_spark.operators.stats import correlation_profile
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("a"), (F.col("id") * 2).alias("b"),
+        (F.col("id") % 7).alias("c"),
+    )
+    plan = plan_of(correlation_profile(df, [("a", "b"), ("a", "c"), ("b", "c")]))
+    assert "Expand" not in plan
+    assert "Union" not in plan
+    assert _node_counts(plan)["Range"] == 1  # the one source scan
+
+
+def test_categorical_entropy_single_scan(spark):
+    """Profiling c columns must not scan the table c times: one
+    Generate (explode) over one scan, map-side-combined aggregates."""
+    from oblate_spark.operators.stats import categorical_entropy
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 3).alias("u"), (F.col("id") % 5).alias("v"),
+        (F.col("id") % 7).alias("w"),
+    )
+    plan = plan_of(categorical_entropy(df, ["u", "v", "w"]))
+    nodes = _node_counts(plan)
+    assert nodes["Range"] == 1
+    assert nodes["Generate"] == 1
+    assert "Union" not in plan
+
+
+def test_cross_table_violations_equi_join(spark):
+    """The cross-table constraint must plan an equi-join (broadcast or
+    sort-merge), never a nested-loop/cartesian — the predicate rides
+    the join output, it must not become the join condition."""
+    from oblate_spark.operators.stats import cross_table_violations
+
+    fact = spark.range(0, 10_000).select(
+        F.col("id").alias("fid"), (F.col("id") % 100).alias("key"),
+        (F.col("id") % 365).alias("gap"),
+    )
+    dim = spark.range(0, 100).select(
+        F.col("id").alias("dkey"), F.lit(0).alias("base")
+    )
+    out = cross_table_violations(
+        fact, dim, fact_key="key", dim_key="dkey",
+        must_hold=lambda f, d: (f["gap"] - d["base"]) <= 90,
+        row_cols=["fid"],
+    )
+    plan = plan_of(out)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Join" in plan

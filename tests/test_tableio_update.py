@@ -708,3 +708,132 @@ def test_read_range_file_skipping(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         t.read_range("k")
+
+
+def test_append_type_widening(spark, tmp_path):
+    """Iceberg type-promotion parity on append: widening is gated and
+    recorded; chain reads serve pre-evolution int32 files through the
+    widened requested schema (no rewrite, no mergeSchema failure);
+    time travel to a pre-evolution snapshot keeps the old types."""
+    from pyspark.sql import functions as F
+    from oblate_spark.sources.tableio import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    base = spark.range(0, 100).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") / 2).cast("float").alias("x"),
+    )
+    s0 = t.write(base)
+    wide = spark.range(100, 200).select(
+        F.col("id").alias("k"),  # bigint
+        (F.col("id").cast("double") / 2).alias("x"),
+    )
+    # gated: without the flag the commit is rejected with a hint
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="allow_type_widening"):
+        t.append(wide)
+    t.append(wide, allow_type_widening=True)
+
+    got = t.read()
+    types = {f.name: f.dataType.simpleString() for f in got.schema.fields}
+    assert types == {"k": "bigint", "x": "double"}
+    rows = {r["k"]: r["x"] for r in got.collect()}
+    assert len(rows) == 200
+    assert rows[7] == 3.5 and rows[150] == 75.0  # both eras readable
+    # time travel: pre-evolution snapshot keeps its committed types
+    old = t.read(s0)
+    assert {f.name: f.dataType.simpleString() for f in old.schema.fields} == {
+        "k": "int", "x": "float"
+    }
+    assert old.count() == 100
+
+
+def test_append_narrow_batch_upcast_and_bad_retype(spark, tmp_path):
+    """A batch NARROWER than the table upcasts silently (write-time
+    cast, no evolution); a cross-family retype is rejected regardless
+    of flags."""
+    from pyspark.sql import functions as F
+    from oblate_spark.sources.tableio import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.write(spark.range(0, 50).select(F.col("id").alias("k")))  # bigint
+    t.append(spark.range(50, 60).select(F.col("id").cast("int").alias("k")))
+    got = t.read()
+    assert got.schema["k"].dataType.simpleString() == "bigint"
+    assert got.count() == 60
+    import pytest as _pytest
+
+    bad = spark.range(0, 5).select(F.col("id").cast("string").alias("k"))
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        t.append(bad, allow_type_widening=True, allow_new_columns=True)
+
+
+def test_append_widening_with_added_column_and_range_read(spark, tmp_path):
+    """Widening + additive evolution in one commit, then a stats-pruned
+    range read across the evolved chain: pre-evolution files must be
+    widening-read and surface NULL for the added column."""
+    from pyspark.sql import functions as F
+    from oblate_spark.sources.tableio import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.write(
+        spark.range(0, 1000)
+        .select(F.col("id").cast("int").alias("k"))
+        .repartitionByRange(4, "k"),
+        stats_cols=["k"],
+    )
+    evolved = spark.range(5000, 6000).select(
+        F.col("id").alias("k"), F.lit("new").alias("tag")
+    )
+    t.append(
+        evolved.repartitionByRange(4, "k"),
+        allow_type_widening=True,
+        allow_new_columns=True,
+        stats_cols=["k"],
+    )
+    got = t.read_range("k", 100, 199)
+    assert got.schema["k"].dataType.simpleString() == "bigint"
+    rows = got.collect()
+    assert sorted(r["k"] for r in rows) == list(range(100, 200))
+    assert all(r["tag"] is None for r in rows)  # pre-evolution era
+    # pruning still effective on the evolved chain: 8 files total,
+    # a 100-key range in the old era should skip the new era entirely
+    assert len(got.inputFiles()) <= 2
+    new_era = t.read_range("k", 5100, 5199).collect()
+    assert sorted(r["k"] for r in new_era) == list(range(5100, 5200))
+    assert all(r["tag"] == "new" for r in new_era)
+
+
+def test_schema_changes_report(spark, tmp_path):
+    """Manifest-only schema drift: added/widened from appends, retyped/
+    dropped across a full overwrite; zero Spark jobs involved."""
+    from pyspark.sql import functions as F
+    from oblate_spark.sources.tableio import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    s1 = t.write(spark.range(0, 10).select(F.col("id").cast("int").alias("k")))
+    s2 = t.append(
+        spark.range(10, 20).select(
+            F.col("id").alias("k"), F.lit("x").alias("tag")
+        ),
+        allow_type_widening=True,
+        allow_new_columns=True,
+    )
+    changes = {c["column"]: c for c in t.schema_changes(s1, s2)}
+    assert changes["k"] == {
+        "column": "k", "change": "widened",
+        "from_type": "int", "to_type": "bigint",
+    }
+    assert changes["tag"]["change"] == "added"
+    # full overwrite may retype/drop — reported, not raised
+    s3 = t.write(
+        spark.range(0, 5).select(F.col("id").cast("string").alias("k"))
+    )
+    changes = {(c["column"], c["change"]) for c in t.schema_changes(s2, s3)}
+    assert ("k", "retyped") in changes and ("tag", "dropped") in changes
+    assert t.schema_changes(s1, s1) == []
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown snapshot"):
+        t.schema_changes(99)

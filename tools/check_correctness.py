@@ -99,6 +99,15 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     only = set(sys.argv[1:])
+    # a selection that matches nothing must FAIL, not vacuously print
+    # ALL OK — a typo'd (or "--only"-prefixed, or comma-joined) name
+    # otherwise reports success for a query that never ran
+    unknown = only - set(qs)
+    if unknown:
+        raise SystemExit(
+            f"unknown query name(s): {sorted(unknown)} — pass bare "
+            "space-separated names from queries()"
+        )
 
     failures = 0
     for name, fn in qs.items():
