@@ -1563,6 +1563,35 @@ def q_volume_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return volume_anomalies(ev, "ts", k=2)
 
 
+def q_uniqueness_metrics_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-class completeness/distinctness/uniqueness metrics over
+    three documents columns in one scan."""
+    from oblate_spark.operators.stats import uniqueness_metrics
+
+    d = _read(spark, sf_dir, "documents")
+    return uniqueness_metrics(d, ["doc_id", "lang", "source"])
+
+
+def q_pattern_ratio_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-compliance ratio: what fraction of events.props matches
+    the expected single-key JSON shape."""
+    from oblate_spark.operators.stats import pattern_ratio
+
+    ev = _read(spark, sf_dir, "events")
+    return pattern_ratio(ev, "props", r'^\{"k": \d+\}$')
+
+
+def q_benford_cents_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit profile of lineitem's extended price in
+    cents — string-derived digits, no float log of the value."""
+    from oblate_spark.operators.drift import benford_first_digit
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents")
+    )
+    return benford_first_digit(li, "cents")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": q_validate_lineitem,
@@ -1634,6 +1663,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_profile_lineitem": q_entropy_profile_lineitem,
         "suggest_constraints_orders": q_suggest_constraints_orders,
         "volume_anomalies_events": q_volume_anomalies_events,
+        "uniqueness_metrics_documents": q_uniqueness_metrics_documents,
+        "pattern_ratio_events_props": q_pattern_ratio_events_props,
+        "benford_cents_lineitem": q_benford_cents_lineitem,
         "windowed_psi_events": q_windowed_psi_events,
         "centroid_outliers_embeddings": q_centroid_outliers_embeddings,
         "aspect_bucket_batches": q_aspect_bucket_batches,
@@ -2765,6 +2797,92 @@ def oracle_sql() -> dict[str, str]:
                          - sum(cnt::DOUBLE * ln(cnt::DOUBLE))
                            / sum(cnt)::DOUBLE, 6)
             FROM sm
+        """,
+        "uniqueness_metrics_documents": """
+            WITH ci AS (
+                SELECT doc_id::VARCHAR AS v, count(*)::BIGINT AS cnt
+                FROM documents GROUP BY 1
+            ), cl AS (
+                SELECT lang AS v, count(*)::BIGINT AS cnt
+                FROM documents GROUP BY 1
+            ), cs AS (
+                SELECT source AS v, count(*)::BIGINT AS cnt
+                FROM documents GROUP BY 1
+            )
+            SELECT 'doc_id' AS "column",
+                   sum(cnt)::BIGINT AS n_rows,
+                   sum(CASE WHEN v IS NOT NULL THEN cnt ELSE 0 END)::BIGINT
+                       AS n_nonnull,
+                   count(CASE WHEN v IS NOT NULL THEN 1 END)::BIGINT
+                       AS n_distinct,
+                   count(CASE WHEN v IS NOT NULL AND cnt = 1 THEN 1 END)::BIGINT
+                       AS n_unique_once,
+                   round(sum(CASE WHEN v IS NOT NULL THEN cnt ELSE 0 END)::DOUBLE
+                         / sum(cnt)::DOUBLE, 6) AS completeness,
+                   round(count(CASE WHEN v IS NOT NULL THEN 1 END)::DOUBLE
+                         / sum(CASE WHEN v IS NOT NULL THEN cnt ELSE 0 END)::DOUBLE,
+                         6) AS distinctness,
+                   round(count(CASE WHEN v IS NOT NULL AND cnt = 1 THEN 1 END)::DOUBLE
+                         / sum(CASE WHEN v IS NOT NULL THEN cnt ELSE 0 END)::DOUBLE,
+                         6) AS uniqueness
+            FROM ci
+            UNION ALL
+            SELECT 'lang', sum(cnt)::BIGINT,
+                   sum(CASE WHEN v IS NOT NULL THEN cnt ELSE 0 END)::BIGINT,
+                   count(CASE WHEN v IS NOT NULL THEN 1 END)::BIGINT,
+                   count(CASE WHEN v IS NOT NULL AND cnt = 1 THEN 1 END)::BIGINT,
+                   round(sum(CASE WHEN v IS NOT NULL THEN cnt ELSE 0 END)::DOUBLE
+                         / sum(cnt)::DOUBLE, 6),
+                   round(count(CASE WHEN v IS NOT NULL THEN 1 END)::DOUBLE
+                         / sum(CASE WHEN v IS NOT NULL THEN cnt ELSE 0 END)::DOUBLE,
+                         6),
+                   round(count(CASE WHEN v IS NOT NULL AND cnt = 1 THEN 1 END)::DOUBLE
+                         / sum(CASE WHEN v IS NOT NULL THEN cnt ELSE 0 END)::DOUBLE,
+                         6)
+            FROM cl
+            UNION ALL
+            SELECT 'source', sum(cnt)::BIGINT,
+                   sum(CASE WHEN v IS NOT NULL THEN cnt ELSE 0 END)::BIGINT,
+                   count(CASE WHEN v IS NOT NULL THEN 1 END)::BIGINT,
+                   count(CASE WHEN v IS NOT NULL AND cnt = 1 THEN 1 END)::BIGINT,
+                   round(sum(CASE WHEN v IS NOT NULL THEN cnt ELSE 0 END)::DOUBLE
+                         / sum(cnt)::DOUBLE, 6),
+                   round(count(CASE WHEN v IS NOT NULL THEN 1 END)::DOUBLE
+                         / sum(CASE WHEN v IS NOT NULL THEN cnt ELSE 0 END)::DOUBLE,
+                         6),
+                   round(count(CASE WHEN v IS NOT NULL AND cnt = 1 THEN 1 END)::DOUBLE
+                         / sum(CASE WHEN v IS NOT NULL THEN cnt ELSE 0 END)::DOUBLE,
+                         6)
+            FROM cs
+        """,
+        "pattern_ratio_events_props": """
+            SELECT count(props)::BIGINT AS n_nonnull,
+                   count(CASE WHEN regexp_matches(props, '^\{"k": \d+\}$')
+                              THEN 1 END)::BIGINT AS n_matching,
+                   round(count(CASE WHEN regexp_matches(props,
+                                        '^\{"k": \d+\}$')
+                               THEN 1 END)::DOUBLE
+                         / count(props)::DOUBLE, 6) AS ratio
+            FROM events
+        """,
+        "benford_cents_lineitem": """
+            WITH c AS (
+                SELECT substr(abs(floor(l_extendedprice * 100)::BIGINT)::VARCHAR,
+                              1, 1)::INT AS digit,
+                       count(*)::BIGINT AS cnt
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL
+                  AND floor(l_extendedprice * 100)::BIGINT != 0
+                GROUP BY 1
+            ), t AS (SELECT sum(cnt)::BIGINT AS tt FROM c)
+            SELECT d.digit::INT AS digit,
+                   coalesce(cnt, 0)::BIGINT AS n,
+                   round(coalesce(cnt, 0)::DOUBLE / tt::DOUBLE, 6)
+                       AS p_observed,
+                   round(log10(1.0 + 1.0 / d.digit::DOUBLE), 6) AS p_expected
+            FROM (SELECT generate_series AS digit
+                  FROM generate_series(1, 9)) d
+            LEFT JOIN c ON c.digit = d.digit, t
         """,
         "volume_anomalies_events": """
             WITH c AS (

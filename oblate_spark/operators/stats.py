@@ -605,3 +605,81 @@ def suggest_constraints(
     return df.sparkSession.createDataFrame(
         out, "column string, code string, expression string"
     )
+
+
+def uniqueness_metrics(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Deequ-class column metrics in ONE scan for ALL columns —
+    (column, n_rows, n_nonnull, n_distinct, n_unique_once,
+    completeness, distinctness, uniqueness):
+
+    - completeness = non-null / rows
+    - distinctness = distinct / non-null ("how id-like")
+    - uniqueness   = values occurring EXACTLY once / non-null (the
+      Deequ metric that distinguishes "almost a key with a few hot
+      dups" from "uniformly repeated")
+
+    Same single-pass shape as :func:`categorical_entropy`: explode to
+    (column, stringified value) inside the scan stage (NULLs kept so
+    completeness falls out of the same pass), map-side-combined
+    per-value counts, then a tiny per-column fold over |distinct|
+    rows. Ratios rounded 6dp; counts exact BIGINTs."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"), F.col(c).cast("string").alias("v")
+            )
+            for c in cols
+        ]
+    )
+    counts = (
+        df.select(F.explode(pairs).alias("e"))
+        .select("e.column", "e.v")
+        .groupBy("column", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    nn = F.sum(F.when(F.col("v").isNotNull(), F.col("cnt")).otherwise(0))
+    return counts.groupBy("column").agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        nn.cast("bigint").alias("n_nonnull"),
+        F.count(F.when(F.col("v").isNotNull(), 1)).cast("bigint").alias("n_distinct"),
+        F.count(F.when(F.col("v").isNotNull() & (F.col("cnt") == 1), 1))
+        .cast("bigint")
+        .alias("n_unique_once"),
+        F.round(nn.cast("double") / F.sum("cnt").cast("double"), 6).alias(
+            "completeness"
+        ),
+        F.round(
+            F.count(F.when(F.col("v").isNotNull(), 1)).cast("double")
+            / nn.cast("double"),
+            6,
+        ).alias("distinctness"),
+        F.round(
+            F.count(F.when(F.col("v").isNotNull() & (F.col("cnt") == 1), 1))
+            .cast("double")
+            / nn.cast("double"),
+            6,
+        ).alias("uniqueness"),
+    )
+
+
+def pattern_ratio(df: DataFrame, col: str, pattern: str) -> DataFrame:
+    """Format-compliance metric: what fraction of ``col``'s non-null
+    values fully match ``pattern`` — (n_nonnull, n_matching, ratio).
+    The distributed form of the reference's `validate.Regex` "full
+    match" mode as a METRIC instead of per-row violations (pair with
+    the validator when you need the rows themselves).
+
+    One codegen'd conditional aggregate — map-only, combinable, the
+    regex runs inside the scan stage. Stick to portable regex
+    constructs (classes, anchors, quantifiers) if an external oracle
+    must agree; Java and RE2 dialects diverge on exotica."""
+    m = F.col(col).rlike(pattern)
+    return df.agg(
+        F.count(F.col(col)).cast("bigint").alias("n_nonnull"),
+        F.count(F.when(m, 1)).cast("bigint").alias("n_matching"),
+        F.round(
+            F.count(F.when(m, 1)).cast("double")
+            / F.count(F.col(col)).cast("double"),
+            6,
+        ).alias("ratio"),
+    )

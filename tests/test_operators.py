@@ -1492,3 +1492,50 @@ def test_volume_anomalies_exact_gate(spark):
     sd = statistics.pstdev(counts)
     for day, (n, flag) in out.items():
         assert flag == (abs(n - mu) > 2 * sd)
+
+
+def test_uniqueness_metrics(spark):
+    """completeness/distinctness/uniqueness from one pass: NULLs count
+    against completeness only; uniqueness sees exactly-once values."""
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("b", 2), (None, 3)], "k string, v long"
+    )
+    out = {r["column"]: r for r in
+           __import__("oblate_spark.operators.stats", fromlist=["x"])
+           .uniqueness_metrics(df, ["k", "v"]).collect()}
+    k = out["k"]
+    assert (k["n_rows"], k["n_nonnull"], k["n_distinct"], k["n_unique_once"]) == (4, 3, 2, 1)
+    assert k["completeness"] == 0.75
+    assert k["distinctness"] == round(2 / 3, 6)
+    assert k["uniqueness"] == round(1 / 3, 6)
+    v = out["v"]
+    assert (v["n_nonnull"], v["n_distinct"], v["n_unique_once"]) == (4, 3, 2)
+
+
+def test_pattern_ratio(spark):
+    from oblate_spark.operators.stats import pattern_ratio
+
+    df = spark.createDataFrame(
+        [("a1",), ("b2",), ("xx",), (None,)], "s string"
+    )
+    r = pattern_ratio(df, "s", r"^[a-z]\d$").collect()[0]
+    assert (r["n_nonnull"], r["n_matching"], r["ratio"]) == (3, 2, round(2 / 3, 6))
+
+
+def test_benford_first_digit(spark):
+    """String-derived digits: negatives by magnitude, zeros dropped,
+    absent digits report zero, expectations are Benford's."""
+    import math
+    from oblate_spark.operators.drift import benford_first_digit
+
+    df = spark.createDataFrame(
+        [(123,), (19,), (-145,), (2,), (0,), (None,), (900,)], "x long"
+    )
+    rows = {r["digit"]: r for r in benford_first_digit(df, "x").collect()}
+    assert len(rows) == 9
+    assert rows[1]["n"] == 3  # 123, 19, -145
+    assert rows[2]["n"] == 1 and rows[9]["n"] == 1
+    assert rows[3]["n"] == 0 and rows[3]["p_observed"] == 0.0
+    assert rows[1]["p_observed"] == 0.6
+    for d in range(1, 10):
+        assert rows[d]["p_expected"] == round(math.log10(1 + 1 / d), 6)
