@@ -1563,6 +1563,22 @@ def q_volume_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return volume_anomalies(ev, "ts", k=2)
 
 
+def q_grouped_completeness_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-return-flag completeness of zero-as-missing discount/tax —
+    the "which ingest group broke the column" check; a global null rate
+    would average the damage away."""
+    from oblate_spark.operators.stats import grouped_completeness
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.when(F.col("l_discount") != 0, F.col("l_discount")).alias("disc_nn"),
+        F.when(F.col("l_tax") != 0, F.col("l_tax")).alias("tax_nn"),
+    )
+    return grouped_completeness(
+        li, "l_returnflag", ["disc_nn", "tax_nn"], min_completeness=0.95
+    )
+
+
 def q_uniqueness_metrics_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-class completeness/distinctness/uniqueness metrics over
     three documents columns in one scan."""
@@ -1664,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_constraints_orders": q_suggest_constraints_orders,
         "volume_anomalies_events": q_volume_anomalies_events,
         "uniqueness_metrics_documents": q_uniqueness_metrics_documents,
+        "grouped_completeness_lineitem": q_grouped_completeness_lineitem,
         "pattern_ratio_events_props": q_pattern_ratio_events_props,
         "benford_cents_lineitem": q_benford_cents_lineitem,
         "windowed_psi_events": q_windowed_psi_events,
@@ -2797,6 +2814,29 @@ def oracle_sql() -> dict[str, str]:
                          - sum(cnt::DOUBLE * ln(cnt::DOUBLE))
                            / sum(cnt)::DOUBLE, 6)
             FROM sm
+        """,
+        "grouped_completeness_lineitem": """
+            WITH s AS (
+                SELECT l_returnflag AS grp,
+                       CASE WHEN l_discount != 0 THEN l_discount END AS disc_nn,
+                       CASE WHEN l_tax != 0 THEN l_tax END AS tax_nn
+                FROM lineitem
+            ), g AS (
+                SELECT grp, count(*)::BIGINT AS n,
+                       count(disc_nn)::BIGINT AS nn_d,
+                       count(tax_nn)::BIGINT AS nn_t
+                FROM s GROUP BY grp
+            )
+            SELECT grp AS "group", 'disc_nn' AS "column", n AS n_rows,
+                   nn_d AS n_nonnull,
+                   round(nn_d::DOUBLE / n::DOUBLE, 6) AS completeness,
+                   (nn_d::DOUBLE / n::DOUBLE) < 0.95 AS below_threshold
+            FROM g
+            UNION ALL
+            SELECT grp, 'tax_nn', n, nn_t,
+                   round(nn_t::DOUBLE / n::DOUBLE, 6),
+                   (nn_t::DOUBLE / n::DOUBLE) < 0.95
+            FROM g
         """,
         "uniqueness_metrics_documents": """
             WITH ci AS (

@@ -39,6 +39,9 @@ __all__ = [
     "correlation_profile",
     "categorical_entropy",
     "suggest_constraints",
+    "uniqueness_metrics",
+    "pattern_ratio",
+    "grouped_completeness",
 ]
 
 
@@ -682,4 +685,50 @@ def pattern_ratio(df: DataFrame, col: str, pattern: str) -> DataFrame:
             / F.count(F.col(col)).cast("double"),
             6,
         ).alias("ratio"),
+    )
+
+
+def grouped_completeness(
+    df: DataFrame,
+    group_col: str,
+    cols: Sequence[str],
+    *,
+    min_completeness: float = 1.0,
+) -> DataFrame:
+    """Per-GROUP completeness — (group, column, n_rows, n_nonnull,
+    completeness, below_threshold) for every (group, column) pair. The
+    question a global null-rate hides: WHICH ingest day / source / shard
+    broke the column. A feed that nulls captions for one day moves a
+    10^12-row table's global rate by 1e-3 (invisible) but that day's
+    rate to 0 (flagged here).
+
+    ONE groupBy over the table with a conditional-count pair per column,
+    then a stack unpivot of the |groups| x width frame — map-side
+    combinable, the shuffle carries |groups| rows, and adding columns
+    adds zero passes. Ratio rounded 6dp."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"{c}__nn"))
+    wide = df.groupBy(F.col(group_col).alias("group")).agg(*aggs)
+    stacked = ", ".join(f"'{c}', `{c}__nn`" for c in cols)
+    return (
+        wide.selectExpr(
+            "`group`",
+            "__n",
+            f"stack({len(cols)}, {stacked}) as (column, n_nonnull)",
+        )
+        .select(
+            "group",
+            "column",
+            F.col("__n").cast("bigint").alias("n_rows"),
+            F.col("n_nonnull").cast("bigint").alias("n_nonnull"),
+            F.round(
+                F.col("n_nonnull").cast("double") / F.col("__n").cast("double"),
+                6,
+            ).alias("completeness"),
+            (
+                F.col("n_nonnull").cast("double") / F.col("__n").cast("double")
+                < F.lit(float(min_completeness))
+            ).alias("below_threshold"),
+        )
     )

@@ -1539,3 +1539,28 @@ def test_benford_first_digit(spark):
     assert rows[1]["p_observed"] == 0.6
     for d in range(1, 10):
         assert rows[d]["p_expected"] == round(math.log10(1 + 1 / d), 6)
+
+
+def test_grouped_completeness(spark):
+    """Per-group null rates with threshold flag: the broken group is
+    flagged, healthy groups are not, columns share one pass."""
+    from oblate_spark.operators.stats import grouped_completeness
+
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("a", None, 2), ("b", 3, None), ("b", 4, 5),
+         ("b", None, 6), ("b", 7, 8)],
+        "g string, x long, y long",
+    )
+    out = {
+        (r["group"], r["column"]): r
+        for r in grouped_completeness(
+            df, "g", ["x", "y"], min_completeness=0.7
+        ).collect()
+    }
+    a_x = out[("a", "x")]
+    assert (a_x["n_rows"], a_x["n_nonnull"]) == (2, 1)
+    assert a_x["completeness"] == 0.5 and a_x["below_threshold"]
+    b_x = out[("b", "x")]
+    assert b_x["completeness"] == 0.75 and not b_x["below_threshold"]
+    assert out[("a", "y")]["completeness"] == 1.0
+    assert out[("b", "y")]["completeness"] == 0.75
