@@ -1608,6 +1608,102 @@ def q_benford_cents_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_first_digit(li, "cents")
 
 
+def q_key_skew_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 heaviest user_ids with share and skew-vs-uniform — the
+    pre-shuffle audit that decides whether a join key needs salting.
+    TakeOrderedAndProject top-N, never a global sort."""
+    from oblate_spark.operators.stats import key_skew_profile
+
+    ev = _read(spark, sf_dir, "events")
+    return key_skew_profile(ev, "user_id", top_n=10)
+
+
+FRESH_AS_OF = "2024-01-31 00:00:00"
+FRESH_MAX_LAG = 14400  # 4 h
+
+
+def q_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard freshness (shard = user_id % 97) against an explicit
+    as-of instant: lag in whole seconds from a microsecond-exact diff,
+    stale above 4 h. Deterministic — no wall clock anywhere."""
+    from oblate_spark.operators.stats import freshness_check
+
+    ev = _read(spark, sf_dir, "events").select(
+        (F.col("user_id") % 97).cast("bigint").alias("shard"), "ts"
+    )
+    return freshness_check(
+        ev,
+        ts_col="ts",
+        group_col="shard",
+        as_of=FRESH_AS_OF,
+        max_lag_seconds=FRESH_MAX_LAG,
+    )
+
+
+def q_category_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-domain diff between early- and late-January cohorts
+    over a sparse composite category (user bucket x props.k): which
+    categories are new, which vanished, which kept — the
+    schema-on-read regression a share-based PSI smooths over."""
+    from oblate_spark.operators.drift import category_diff
+
+    ev = _read(spark, sf_dir, "events")
+    cat = F.concat(
+        (F.col("user_id") % 50).cast("string"),
+        F.lit(":"),
+        F.get_json_object("props", "$.k"),
+    )
+    return category_diff(
+        ev.select(cat.alias("cat"), "ts"),
+        "cat",
+        base_cond=F.col("ts") < F.lit("2024-01-16"),
+        cur_cond=F.col("ts") >= F.lit("2024-01-16"),
+    )
+
+
+BP_LINE_TOKENS = 8  # non-overlapping 8-token pseudo-lines
+
+
+def q_strip_boilerplate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level dedup: 8-token pseudo-lines (the docs have
+    no newlines), boilerplate = a line shared by >= 2 docs of one
+    source, rebuilt text with boilerplate stripped. The oracle hash
+    pins the exact cleaned text of every document."""
+    from oblate_spark.operators.text import strip_boilerplate, tokens_expr
+
+    L = BP_LINE_TOKENS
+    d = _read(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "source", tokens_expr(F.col("text")).alias("t")
+    ).filter(F.size("t") > 0)
+    n_lines = (F.floor((F.size("t") - 1) / F.lit(L)) + 1).cast("int")
+    lines = base.select(
+        "doc_id",
+        "source",
+        "t",
+        F.explode(F.sequence(F.lit(0), n_lines - 1)).alias("i"),
+    ).select(
+        "doc_id",
+        "source",
+        "i",
+        F.array_join(F.slice("t", F.col("i") * L + 1, L), " ").alias("line"),
+    )
+    out = strip_boilerplate(
+        lines,
+        doc_col="doc_id",
+        group_col="source",
+        idx_col="i",
+        line_col="line",
+        min_docs=2,
+    )
+    return out.select(
+        F.col("doc").cast("bigint").alias("doc_id"),
+        "clean_text",
+        "n_lines",
+        "n_removed",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": q_validate_lineitem,
@@ -1681,6 +1777,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_anomalies_events": q_volume_anomalies_events,
         "uniqueness_metrics_documents": q_uniqueness_metrics_documents,
         "grouped_completeness_lineitem": q_grouped_completeness_lineitem,
+        "key_skew_events": q_key_skew_events,
+        "freshness_events": q_freshness_events,
+        "category_diff_events": q_category_diff_events,
+        "strip_boilerplate_documents": q_strip_boilerplate_documents,
         "pattern_ratio_events_props": q_pattern_ratio_events_props,
         "benford_cents_lineitem": q_benford_cents_lineitem,
         "windowed_psi_events": q_windowed_psi_events,
@@ -2837,6 +2937,89 @@ def oracle_sql() -> dict[str, str]:
                    round(nn_t::DOUBLE / n::DOUBLE, 6),
                    (nn_t::DOUBLE / n::DOUBLE) < 0.95
             FROM g
+        """,
+        "key_skew_events": """
+            WITH c AS (
+                SELECT user_id::VARCHAR AS key_value, count(*)::BIGINT AS n_rows
+                FROM events GROUP BY 1
+            ), t AS (
+                SELECT sum(n_rows)::BIGINT AS total_rows,
+                       count(*)::BIGINT AS n_keys
+                FROM c
+            ), top AS (
+                SELECT key_value, n_rows,
+                       row_number() OVER (ORDER BY n_rows DESC,
+                                          key_value ASC NULLS FIRST) AS rank
+                FROM c QUALIFY rank <= 10
+            )
+            SELECT rank::INT AS rank, key_value, n_rows,
+                   round(n_rows::DOUBLE / total_rows::DOUBLE, 6) AS share,
+                   round(n_rows::DOUBLE * n_keys::DOUBLE
+                         / total_rows::DOUBLE, 6) AS skew,
+                   n_keys, total_rows
+            FROM top CROSS JOIN t
+        """,
+        "freshness_events": f"""
+            WITH g AS (
+                SELECT (user_id % 97)::BIGINT AS shard, max(ts) AS last_ts
+                FROM events GROUP BY 1
+            ), l AS (
+                SELECT shard, last_ts,
+                       floor(date_diff('microseconds', last_ts,
+                                       TIMESTAMP '{FRESH_AS_OF}')
+                             / 1000000.0)::BIGINT AS lag_seconds
+                FROM g
+            )
+            SELECT shard AS "group", last_ts, lag_seconds,
+                   lag_seconds > {FRESH_MAX_LAG} AS stale
+            FROM l
+        """,
+        "category_diff_events": """
+            WITH e AS (
+                SELECT concat(user_id % 50, ':',
+                              json_extract_string(props, '$.k')) AS category,
+                       CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS b,
+                       CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS c
+                FROM events
+            )
+            SELECT category, sum(b)::BIGINT AS n_base,
+                   sum(c)::BIGINT AS n_current,
+                   CASE WHEN sum(b) = 0 THEN 'new'
+                        WHEN sum(c) = 0 THEN 'vanished'
+                        ELSE 'kept' END AS status
+            FROM e GROUP BY 1
+            HAVING sum(b) > 0 OR sum(c) > 0
+        """,
+        "strip_boilerplate_documents": f"""
+            WITH t AS (SELECT doc_id, source, {_TOKENS} AS toks FROM documents),
+            c AS (
+                SELECT doc_id, source, toks,
+                       unnest(generate_series(
+                           0, (len(toks) - 1) // {BP_LINE_TOKENS})) AS i
+                FROM t WHERE len(toks) > 0
+            ),
+            lines AS (
+                SELECT doc_id, source, i,
+                       array_to_string(list_slice(
+                           toks, i * {BP_LINE_TOKENS} + 1,
+                           i * {BP_LINE_TOKENS} + {BP_LINE_TOKENS}), ' ') AS line
+                FROM c
+            ),
+            bp AS (
+                SELECT source, line FROM lines
+                GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2
+            ),
+            fl AS (
+                SELECT l.doc_id, l.i, l.line, (bp.line IS NOT NULL) AS is_bp
+                FROM lines l LEFT JOIN bp
+                  ON l.source = bp.source AND l.line = bp.line
+            )
+            SELECT doc_id::BIGINT AS doc_id,
+                   coalesce(string_agg(CASE WHEN NOT is_bp THEN line END,
+                                       ' ' ORDER BY i), '') AS clean_text,
+                   count(*)::BIGINT AS n_lines,
+                   sum(CASE WHEN is_bp THEN 1 ELSE 0 END)::BIGINT AS n_removed
+            FROM fl GROUP BY doc_id
         """,
         "uniqueness_metrics_documents": """
             WITH ci AS (

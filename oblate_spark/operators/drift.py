@@ -38,6 +38,7 @@ __all__ = [
     "grouped_tdigest_quantiles",
     "volume_anomalies",
     "benford_first_digit",
+    "category_diff",
 ]
 
 
@@ -613,3 +614,40 @@ def benford_first_digit(df: DataFrame, int_col: str) -> DataFrame:
             ).alias("p_expected"),
         )
     )
+
+
+def category_diff(df: DataFrame, col, *, base_cond, cur_cond) -> DataFrame:
+    """Categorical-domain drift PSI cannot express: which categories are
+    NEW in the current cohort, which VANISHED since the baseline, and
+    the count movement of the rest. A format mix whose shares barely
+    move still fails this check when a new 'avif' value appears — the
+    schema-on-read regression a share-based statistic smooths over.
+
+    Output: (category, n_base, n_current, status) with status in
+    {'new', 'vanished', 'kept'}. Rows in neither cohort (the category
+    exists in the table but matches neither condition) are dropped.
+
+    ONE scan, ONE map-side-combinable groupBy: both cohorts aggregate
+    as conditional sums per category — no second scan, no join of two
+    count frames, and a hot category contributes one partial row per
+    mapper. The shuffle carries |categories| rows."""
+    col = F.col(col) if isinstance(col, str) else col
+    out = (
+        df.select(
+            col.alias("category"),
+            F.when(base_cond, 1).otherwise(0).alias("__b"),
+            F.when(cur_cond, 1).otherwise(0).alias("__c"),
+        )
+        .groupBy("category")
+        .agg(
+            F.sum("__b").cast("bigint").alias("n_base"),
+            F.sum("__c").cast("bigint").alias("n_current"),
+        )
+        .filter((F.col("n_base") > 0) | (F.col("n_current") > 0))
+    )
+    status = (
+        F.when(F.col("n_base") == 0, F.lit("new"))
+        .when(F.col("n_current") == 0, F.lit("vanished"))
+        .otherwise(F.lit("kept"))
+    )
+    return out.select("category", "n_base", "n_current", status.alias("status"))

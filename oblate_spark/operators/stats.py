@@ -42,6 +42,8 @@ __all__ = [
     "uniqueness_metrics",
     "pattern_ratio",
     "grouped_completeness",
+    "key_skew_profile",
+    "freshness_check",
 ]
 
 
@@ -731,4 +733,101 @@ def grouped_completeness(
                 < F.lit(float(min_completeness))
             ).alias("below_threshold"),
         )
+    )
+
+
+def key_skew_profile(df: DataFrame, key: str, *, top_n: int = 10) -> DataFrame:
+    """Top-N heaviest values of a join/partition key — the pre-shuffle
+    audit that decides whether a 100 TB join needs salting, AQE
+    skew-split, or nothing. Output per heavy key: (rank, key_value,
+    n_rows, share, skew) plus the table-level (n_keys, total_rows);
+    ``skew`` = n_rows / (total/n_keys), i.e. how many times heavier than
+    the uniform-key expectation — skew ≈ 1 everywhere means shuffle
+    freely, skew ≫ cores on rank 1 means that key serializes a stage.
+
+    Plan shape: one map-side-combinable groupBy(key) (a hot key
+    contributes one partial row per mapper, so profiling the skew never
+    suffers it), then ``orderBy + limit`` — Spark plans that as
+    TakeOrderedAndProject, a distributed per-partition top-N merged on
+    the driver, NOT a global sort; a billion-key table never single-
+    tasks. The two table-level scalars aggregate the slim counts frame
+    and cross-join back (1 row, broadcast). Rank is dense over
+    (n_rows desc, key asc) so ties are deterministic; the key is cast
+    to string so one profile schema fits any key type. NULL keys are
+    profiled too (often THE hot key) and sort first among ties."""
+    counts = df.groupBy(F.col(key).cast("string").alias("key_value")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    totals = counts.agg(
+        F.sum("n_rows").cast("bigint").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    top = counts.orderBy(
+        F.desc("n_rows"), F.asc_nulls_first("key_value")
+    ).limit(int(top_n))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n_rows"), F.asc_nulls_first("key_value"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "rank",
+            "key_value",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.round(
+                F.col("n_rows").cast("double")
+                / F.col("total_rows").cast("double"),
+                6,
+            ).alias("share"),
+            F.round(
+                F.col("n_rows").cast("double")
+                * F.col("n_keys").cast("double")
+                / F.col("total_rows").cast("double"),
+                6,
+            ).alias("skew"),
+            "n_keys",
+            "total_rows",
+        )
+    )
+
+
+def freshness_check(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    group_col: str,
+    as_of,
+    max_lag_seconds: int,
+) -> DataFrame:
+    """Per-group data freshness: (group, last_ts, lag_seconds, stale) —
+    the "did source X stop delivering" check. ``as_of`` is an explicit
+    reference instant (datetime or ISO string), never wall-clock: the
+    check is deterministic and replayable, and a backfill audit can ask
+    "was src7 stale as of last Tuesday".
+
+    lag is computed at MICROSECOND granularity then floor-divided to
+    seconds: microsecond diff equals the exact integer difference of
+    the timestamps' micros in any engine (second-granularity datediffs
+    count boundary crossings differently across engines). One
+    map-side-combinable max() per group — shuffle carries |groups|
+    rows."""
+    if hasattr(as_of, "isoformat"):
+        as_of = as_of.isoformat(sep=" ")
+    # the as_of literal takes the ts column's OWN type: parquet surfaces
+    # TIMESTAMP_NTZ, and diffing an ntz column against a session-local
+    # TIMESTAMP literal would make the lag depend on the session tz
+    ts_type = df.schema[ts_col].dataType.simpleString()
+    last = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.max(ts_col).alias("last_ts")
+    )
+    lag_us = F.expr(
+        f"timestampdiff(MICROSECOND, last_ts, cast('{as_of}' as {ts_type}))"
+    )
+    lag_s = F.floor(lag_us / F.lit(1_000_000.0)).cast("bigint")
+    return last.select(
+        "group",
+        "last_ts",
+        lag_s.alias("lag_seconds"),
+        (lag_s > F.lit(int(max_lag_seconds))).alias("stale"),
     )

@@ -28,6 +28,8 @@ __all__ = [
     "dup_shingle_fraction",
     "token_rarity",
     "chunk_documents",
+    "boilerplate_lines",
+    "strip_boilerplate",
 ]
 
 #: tiny per-language function-word lists — enough signal for the n-gram
@@ -592,5 +594,96 @@ def chunk_documents(
             F.col("chunk_id").cast("int").alias("chunk_id"),
             F.array_join(chunk, " ").alias("chunk_text"),
             F.size(chunk).cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+def boilerplate_lines(
+    lines: DataFrame,
+    *,
+    doc_col: str,
+    group_col: str,
+    line_col: str,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Lines repeated across >= ``min_docs`` distinct documents of the
+    same group (domain / source / crawl): (group, line, n_docs). This is
+    the CCNet / RefinedWeb line-level dedup signal — nav bars, cookie
+    banners and footers repeat across a domain's pages while real prose
+    does not, so cross-document repetition IS the boilerplate detector.
+
+    One groupBy(group, line) with a single count(DISTINCT doc) —
+    planned as a two-phase partial aggregate (one distinct column: no
+    Expand), so a domain-wide banner contributes one partial row per
+    mapper, never a hot-key task."""
+    return (
+        lines.groupBy(
+            F.col(group_col).alias("group"), F.col(line_col).alias("line")
+        )
+        .agg(F.count_distinct(F.col(doc_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= int(min_docs))
+    )
+
+
+def strip_boilerplate(
+    lines: DataFrame,
+    *,
+    doc_col: str,
+    group_col: str,
+    idx_col: str,
+    line_col: str,
+    min_docs: int = 2,
+    joiner: str = " ",
+    max_broadcast_lines: int = 5_000_000,
+) -> DataFrame:
+    """Rebuild each document with its group's boilerplate lines removed
+    (CCNet-style line-level dedup): (doc, clean_text, n_lines,
+    n_removed). Input is the generic exploded shape (doc, group, idx,
+    line) — produced by splitting on newlines, sentences, or the
+    fixed-token chunker — so the line definition is the caller's.
+
+    Plan: the boilerplate set from :func:`boilerplate_lines` (slim:
+    (group, line) pairs that actually repeat) is joined back onto the
+    lines. It is broadcast while its row count stays under
+    ``max_broadcast_lines`` — the usual case, boilerplate is a tiny
+    fraction of a corpus — else a plain shuffle join under AQE (same
+    guard pattern as stats.incremental_uniqueness_violations; an
+    unconditional broadcast of a 100 TB crawl's banner set could OOM
+    the driver). Reassembly is one groupBy(doc): collect kept
+    (idx, line) structs, array_sort (idx is unique per doc, so the sort
+    is total and deterministic), join with ``joiner``. Per-doc state is
+    bounded by document size, not corpus size."""
+    bp = boilerplate_lines(
+        lines,
+        doc_col=doc_col,
+        group_col=group_col,
+        line_col=line_col,
+        min_docs=min_docs,
+    ).select("group", "line", F.lit(True).alias("__bp"))
+    n_bp = bp.count()  # bounded: slim repeated-lines frame, one job
+    right = F.broadcast(bp) if n_bp <= int(max_broadcast_lines) else bp
+    flagged = lines.select(
+        F.col(doc_col).alias("doc"),
+        F.col(group_col).alias("group"),
+        F.col(idx_col).alias("idx"),
+        F.col(line_col).alias("line"),
+    ).join(right, ["group", "line"], "left")
+    kept_struct = F.when(
+        F.col("__bp").isNull(), F.struct(F.col("idx"), F.col("line"))
+    )
+    return (
+        flagged.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.count(F.col("__bp")).cast("bigint").alias("n_removed"),
+            F.array_sort(F.collect_list(kept_struct)).alias("__kept"),
+        )
+        .select(
+            "doc",
+            F.array_join(
+                F.transform(F.col("__kept"), lambda s: s["line"]), joiner
+            ).alias("clean_text"),
+            "n_lines",
+            "n_removed",
         )
     )

@@ -1564,3 +1564,143 @@ def test_grouped_completeness(spark):
     assert b_x["completeness"] == 0.75 and not b_x["below_threshold"]
     assert out[("a", "y")]["completeness"] == 1.0
     assert out[("b", "y")]["completeness"] == 0.75
+
+
+def test_key_skew_profile(spark):
+    """Top-N heavy keys with deterministic tie-break; share and skew
+    quantify how much heavier than uniform each key is."""
+    from oblate_spark.operators.stats import key_skew_profile
+
+    rows = [("hot",)] * 6 + [("warm",)] * 2 + [("a",), ("b",), (None,), (None,)]
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_profile(df, "k", top_n=3).collect()
+    assert [r["key_value"] for r in out] == ["hot", None, "warm"]
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    top = out[0]
+    assert top["n_rows"] == 6 and top["total_rows"] == 12 and top["n_keys"] == 5
+    assert top["share"] == 0.5
+    # 6 rows vs uniform expectation 12/5 = 2.4 -> skew 2.5
+    assert top["skew"] == 2.5
+
+
+def test_freshness_check(spark):
+    """Per-group max-ts lag vs an explicit as_of; stale above threshold."""
+    import datetime as dt
+
+    from oblate_spark.operators.stats import freshness_check
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    df = spark.createDataFrame(
+        [
+            ("live", t0 + dt.timedelta(seconds=90)),
+            ("live", t0),
+            ("dead", t0 + dt.timedelta(seconds=10, microseconds=400_000)),
+        ],
+        "g string, ts timestamp",
+    )
+    out = {
+        r["group"]: r
+        for r in freshness_check(
+            df,
+            ts_col="ts",
+            group_col="g",
+            as_of=t0 + dt.timedelta(seconds=100),
+            max_lag_seconds=60,
+        ).collect()
+    }
+    assert out["live"]["lag_seconds"] == 10 and not out["live"]["stale"]
+    # 89.6 s floors to 89
+    assert out["dead"]["lag_seconds"] == 89 and out["dead"]["stale"]
+
+
+def test_category_diff(spark):
+    """New/vanished/kept categorical domains between two cohorts in one
+    scan; rows matching neither cohort are ignored."""
+    from oblate_spark.operators.drift import category_diff
+
+    df = spark.createDataFrame(
+        [("png", "base"), ("png", "cur"), ("gif", "base"),
+         ("avif", "cur"), ("bmp", "neither")],
+        "fmt string, side string",
+    )
+    out = {
+        r["category"]: r
+        for r in category_diff(
+            df,
+            "fmt",
+            base_cond=F.col("side") == "base",
+            cur_cond=F.col("side") == "cur",
+        ).collect()
+    }
+    assert set(out) == {"png", "gif", "avif"}
+    assert out["png"]["status"] == "kept" and out["png"]["n_base"] == 1
+    assert out["gif"]["status"] == "vanished" and out["gif"]["n_current"] == 0
+    assert out["avif"]["status"] == "new" and out["avif"]["n_base"] == 0
+
+
+def test_strip_boilerplate(spark):
+    """Lines shared by >= min_docs docs of one group are removed from
+    every doc of that group, order preserved; other groups untouched."""
+    from oblate_spark.operators.text import boilerplate_lines, strip_boilerplate
+
+    lines = spark.createDataFrame(
+        [
+            # group g1: "cookie notice" appears in docs 1 and 2
+            (1, "g1", 0, "cookie notice"),
+            (1, "g1", 1, "real prose one"),
+            (2, "g1", 0, "cookie notice"),
+            (2, "g1", 1, "other words"),
+            # group g2: same line text, but only ONE doc -> kept
+            (3, "g2", 0, "cookie notice"),
+            (3, "g2", 1, "tail"),
+        ],
+        "doc long, grp string, idx int, line string",
+    )
+    bp = boilerplate_lines(
+        lines, doc_col="doc", group_col="grp", line_col="line", min_docs=2
+    ).collect()
+    assert [(r["group"], r["line"], r["n_docs"]) for r in bp] == [
+        ("g1", "cookie notice", 2)
+    ]
+    out = {
+        r["doc"]: r
+        for r in strip_boilerplate(
+            lines,
+            doc_col="doc",
+            group_col="grp",
+            idx_col="idx",
+            line_col="line",
+            min_docs=2,
+            joiner="\n",
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "real prose one" and out[1]["n_removed"] == 1
+    assert out[2]["clean_text"] == "other words"
+    assert out[3]["clean_text"] == "cookie notice\ntail"
+    assert out[3]["n_removed"] == 0 and out[3]["n_lines"] == 2
+
+
+def test_strip_boilerplate_all_removed_and_shuffle_fallback(spark):
+    """A doc whose every line is boilerplate yields an empty clean_text
+    (not null); max_broadcast_lines=0 forces the shuffle-join path and
+    produces identical results."""
+    from oblate_spark.operators.text import strip_boilerplate
+
+    lines = spark.createDataFrame(
+        [(1, "g", 0, "x"), (2, "g", 0, "x")],
+        "doc long, grp string, idx int, line string",
+    )
+    for cap in (10, 0):
+        out = {
+            r["doc"]: r
+            for r in strip_boilerplate(
+                lines,
+                doc_col="doc",
+                group_col="grp",
+                idx_col="idx",
+                line_col="line",
+                min_docs=2,
+                max_broadcast_lines=cap,
+            ).collect()
+        }
+        assert out[1]["clean_text"] == "" and out[1]["n_removed"] == 1
