@@ -1704,6 +1704,79 @@ def q_strip_boilerplate_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_frequent_values_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most frequent values per categorical lineitem column in one
+    scan — the profiler's value-histogram panel."""
+    from oblate_spark.operators.stats import frequent_values_profile
+
+    li = _read(spark, sf_dir, "lineitem")
+    return frequent_values_profile(
+        li, ["l_returnflag", "l_linestatus", "l_linenumber"], k=5
+    )
+
+
+def q_type_inference_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical type inference over a staged all-string table built from
+    lineitem (int / float-ish / bool / date / junk columns, with nulls):
+    the landed-CSV profiler that proposes the schema the typed
+    validators then enforce. Strings are synthesized from integer and
+    date columns only — double→string rendering is engine-specific and
+    would poison the oracle."""
+    from oblate_spark.operators.stats import type_inference_profile
+
+    li = _read(spark, sf_dir, "lineitem")
+    staged = li.select(
+        F.when(
+            F.col("l_linenumber") != 1, F.col("l_orderkey").cast("string")
+        ).alias("s_int"),
+        F.concat(
+            (F.col("l_partkey") % 100).cast("string"),
+            F.lit("."),
+            (F.col("l_suppkey") % 10).cast("string"),
+        ).alias("s_float"),
+        F.when(F.col("l_orderkey") % 2 == 0, "true")
+        .otherwise("false")
+        .alias("s_bool"),
+        F.col("l_shipdate").cast("date").cast("string").alias("s_date"),
+        F.concat(
+            F.col("l_returnflag"), F.lit(" "), F.col("l_linestatus")
+        ).alias("s_junk"),
+        F.when(
+            F.col("l_linenumber") % 3 == 0,
+            (F.col("l_orderkey") % 50).cast("string"),
+        )
+        .otherwise(
+            F.concat(
+                (F.col("l_partkey") % 100).cast("string"),
+                F.lit("."),
+                (F.col("l_suppkey") % 10).cast("string"),
+            )
+        )
+        .alias("s_mixed"),
+    )
+    return type_inference_profile(
+        staged, ["s_int", "s_float", "s_bool", "s_date", "s_junk", "s_mixed"]
+    )
+
+
+FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel over events: stage-i events
+    count only after the user's first qualifying stage-(i-1) event."""
+    from oblate_spark.operators.sessions import funnel_counts
+
+    ev = _read(spark, sf_dir, "events")
+    return funnel_counts(
+        ev,
+        user_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        stages=FUNNEL_STAGES,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": q_validate_lineitem,
@@ -1781,6 +1854,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freshness_events": q_freshness_events,
         "category_diff_events": q_category_diff_events,
         "strip_boilerplate_documents": q_strip_boilerplate_documents,
+        "frequent_values_lineitem": q_frequent_values_lineitem,
+        "type_inference_staged": q_type_inference_staged,
+        "funnel_events": q_funnel_events,
         "pattern_ratio_events_props": q_pattern_ratio_events_props,
         "benford_cents_lineitem": q_benford_cents_lineitem,
         "windowed_psi_events": q_windowed_psi_events,
@@ -2066,6 +2142,53 @@ def _sql_aspect_buckets() -> str:
                (r.rank // {BUCKET_BATCH})::BIGINT AS batch_id,
                (r.rank % {BUCKET_BATCH})::INT AS slot
         FROM ranked r JOIN b ON b.bidx = r.bucket_id
+    """
+
+
+def _type_inference_oracle() -> str:
+    """DuckDB twin of q_type_inference_staged: identical staged-string
+    synthesis, the SAME anchored RE2-safe TYPE_PATTERNS, identical
+    all-nonnull-match inference priority (int, date, bool, float)."""
+    from oblate_spark.operators.stats import TYPE_PATTERNS as TP
+
+    cols = {
+        "s_int": "CASE WHEN l_linenumber != 1 THEN l_orderkey::VARCHAR END",
+        "s_float": "concat(l_partkey % 100, '.', l_suppkey % 10)",
+        "s_bool": "CASE WHEN l_orderkey % 2 = 0 THEN 'true' ELSE 'false' END",
+        "s_date": "(l_shipdate::DATE)::VARCHAR",
+        "s_junk": "concat(l_returnflag, ' ', l_linestatus)",
+        "s_mixed": (
+            "CASE WHEN l_linenumber % 3 = 0 THEN (l_orderkey % 50)::VARCHAR "
+            "ELSE concat(l_partkey % 100, '.', l_suppkey % 10) END"
+        ),
+    }
+    stack = " UNION ALL ".join(
+        f"SELECT '{name}' AS col, {expr} AS v FROM lineitem"
+        for name, expr in cols.items()
+    )
+    hits = ", ".join(
+        f"sum(CASE WHEN regexp_matches(v, '{TP[t]}') THEN 1 ELSE 0 END) AS c_{t}"
+        for t in ("int", "float", "bool", "date")
+    )
+    fracs = ", ".join(
+        f"round(CASE WHEN nn > 0 THEN c_{t}::DOUBLE / nn::DOUBLE "
+        f"ELSE 0.0 END, 6) AS frac_{t}"
+        for t in ("int", "float", "bool", "date")
+    )
+    return f"""
+        WITH s AS ({stack}),
+        g AS (
+            SELECT col, count(*) AS n, count(v) AS nn, {hits}
+            FROM s GROUP BY 1
+        )
+        SELECT col AS "column", n::BIGINT AS n_rows, nn::BIGINT AS n_nonnull,
+               {fracs},
+               CASE WHEN nn > 0 AND c_int = nn THEN 'int'
+                    WHEN nn > 0 AND c_date = nn THEN 'date'
+                    WHEN nn > 0 AND c_bool = nn THEN 'bool'
+                    WHEN nn > 0 AND c_float = nn THEN 'float'
+                    ELSE 'string' END AS inferred_type
+        FROM g
     """
 
 
@@ -3020,6 +3143,49 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_lines,
                    sum(CASE WHEN is_bp THEN 1 ELSE 0 END)::BIGINT AS n_removed
             FROM fl GROUP BY doc_id
+        """,
+        "frequent_values_lineitem": """
+            WITH s AS (
+                SELECT 'l_returnflag' AS col, l_returnflag::VARCHAR AS value FROM lineitem
+                UNION ALL
+                SELECT 'l_linestatus', l_linestatus::VARCHAR FROM lineitem
+                UNION ALL
+                SELECT 'l_linenumber', l_linenumber::VARCHAR FROM lineitem
+            ), c AS (
+                SELECT col, value, count(*)::BIGINT AS n_rows
+                FROM s GROUP BY 1, 2
+            ), r AS (
+                SELECT col, value, n_rows,
+                       row_number() OVER (PARTITION BY col
+                                          ORDER BY n_rows DESC,
+                                                   value ASC NULLS FIRST) AS rank
+                FROM c
+            )
+            SELECT col AS "column", value, n_rows, rank::INT AS rank
+            FROM r WHERE rank <= 5
+        """,
+        "type_inference_staged": _type_inference_oracle(),
+        "funnel_events": f"""
+            WITH u1 AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY 1
+            ), u2 AS (
+                SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN u1 ON e.user_id = u1.user_id
+                WHERE e.event_type = '{FUNNEL_STAGES[1]}' AND e.ts > u1.t
+                GROUP BY 1
+            ), u3 AS (
+                SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN u2 ON e.user_id = u2.user_id
+                WHERE e.event_type = '{FUNNEL_STAGES[2]}' AND e.ts > u2.t
+                GROUP BY 1
+            )
+            SELECT 1::INT AS stage_idx, '{FUNNEL_STAGES[0]}' AS stage,
+                   count(*)::BIGINT AS n_users FROM u1
+            UNION ALL
+            SELECT 2::INT, '{FUNNEL_STAGES[1]}', count(*)::BIGINT FROM u2
+            UNION ALL
+            SELECT 3::INT, '{FUNNEL_STAGES[2]}', count(*)::BIGINT FROM u3
         """,
         "uniqueness_metrics_documents": """
             WITH ci AS (

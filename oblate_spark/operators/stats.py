@@ -44,6 +44,9 @@ __all__ = [
     "grouped_completeness",
     "key_skew_profile",
     "freshness_check",
+    "frequent_values_profile",
+    "TYPE_PATTERNS",
+    "type_inference_profile",
 ]
 
 
@@ -830,4 +833,111 @@ def freshness_check(
         "last_ts",
         lag_s.alias("lag_seconds"),
         (lag_s > F.lit(int(max_lag_seconds))).alias("stale"),
+    )
+
+
+def frequent_values_profile(
+    df: DataFrame, cols: Sequence[str], *, k: int = 5
+) -> DataFrame:
+    """Top-k most frequent values PER COLUMN in one scan: (column,
+    value, n_rows, rank) — the value-histogram panel of a data profiler
+    (Deequ's frequent-items analyzer). Values are cast to string so one
+    schema profiles any column mix; NULL is profiled as a value (a
+    90%-null column's top "value" IS null — hiding it defeats the
+    profile) and sorts first among count ties.
+
+    One projection stacks the columns to (column, value) rows — a
+    |cols|-way fan-out that stays map-side — then ONE combinable
+    groupBy(column, value) and a per-column window over the slim counts
+    frame, rank = row_number by (count desc, value asc). The raw-table
+    shuffle carries one row per (column, distinct value); the window
+    partitions by column, so no global sort anywhere."""
+    pairs = ", ".join(
+        f"'{c}', cast(`{c}` as string)" for c in cols
+    )
+    stacked = df.selectExpr(
+        f"stack({len(cols)}, {pairs}) as (column, value)"
+    )
+    counts = stacked.groupBy("column", "value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("column").orderBy(
+        F.desc("n_rows"), F.asc_nulls_first("value")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= int(k))
+        .select("column", "value", "n_rows", "rank")
+    )
+
+
+#: engine-agnostic lexical type patterns (RE2-safe: no lookarounds) —
+#: the same strings run under Java regex and DuckDB RE2, so a SQL
+#: oracle reproduces the inference bit-for-bit.
+TYPE_PATTERNS = {
+    "int": r"^[+-]?\d+$",
+    "float": r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$",
+    "bool": r"^(true|false|TRUE|FALSE|True|False)$",
+    "date": r"^\d{4}-\d{2}-\d{2}$",
+}
+
+
+def type_inference_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Lexical type inference over string columns — the "this CSV/staged
+    column is really an int" profiler: per column, the fraction of
+    non-null values matching int/float/bool/date patterns and the
+    inferred type (first of int, date, bool, float, string whose
+    pattern matches EVERY non-null value; int precedes float because
+    every int lexes as a float). The staged-ingest companion to the
+    typed validators: run it on a landed all-string table to propose
+    the schema the validators then enforce.
+
+    ONE aggregation pass: per column a conditional count per pattern,
+    stack-unpivoted to (column, ...) rows — adding columns adds zero
+    passes, the shuffle carries one row total (no groupBy key). All
+    fractions are exact-count quotients rounded 6dp."""
+    aggs = []
+    for c in cols:
+        col = F.col(c).cast("string")
+        aggs.append(F.count(F.lit(1)).alias(f"{c}__n"))
+        aggs.append(F.count(col).alias(f"{c}__nn"))
+        for t, pat in TYPE_PATTERNS.items():
+            aggs.append(
+                F.sum(
+                    F.when(col.rlike(pat), 1).otherwise(0)
+                ).alias(f"{c}__{t}")
+            )
+    wide = df.agg(*aggs)
+    tuples = ", ".join(
+        f"'{c}', `{c}__n`, `{c}__nn`, `{c}__int`, `{c}__float`, "
+        f"`{c}__bool`, `{c}__date`"
+        for c in cols
+    )
+    stacked = wide.selectExpr(
+        f"stack({len(cols)}, {tuples}) as "
+        "(column, n, nn, c_int, c_float, c_bool, c_date)"
+    )
+    nn = F.col("nn").cast("double")
+    frac = lambda c: F.round(  # noqa: E731
+        F.when(F.col("nn") > 0, F.col(c).cast("double") / nn).otherwise(0.0), 6
+    )
+    full = lambda c: (F.col("nn") > 0) & (F.col(c) == F.col("nn"))  # noqa: E731
+    inferred = (
+        F.when(full("c_int"), "int")
+        .when(full("c_date"), "date")
+        .when(full("c_bool"), "bool")
+        .when(full("c_float"), "float")
+        .otherwise("string")
+    )
+    return stacked.select(
+        "column",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("nn").cast("bigint").alias("n_nonnull"),
+        frac("c_int").alias("frac_int"),
+        frac("c_float").alias("frac_float"),
+        frac("c_bool").alias("frac_bool"),
+        frac("c_date").alias("frac_date"),
+        inferred.alias("inferred_type"),
     )

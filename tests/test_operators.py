@@ -1704,3 +1704,80 @@ def test_strip_boilerplate_all_removed_and_shuffle_fallback(spark):
             ).collect()
         }
         assert out[1]["clean_text"] == "" and out[1]["n_removed"] == 1
+
+
+def test_frequent_values_profile(spark):
+    """Per-column top-k values in one scan; NULL is a profiled value and
+    sorts first among ties; rank deterministic."""
+    from oblate_spark.operators.stats import frequent_values_profile
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", 1), ("b", 1), ("c", 2), (None, 2), (None, 3)],
+        "x string, y long",
+    )
+    out = frequent_values_profile(df, ["x", "y"], k=2).collect()
+    by_col = {}
+    for r in out:
+        by_col.setdefault(r["column"], []).append((r["value"], r["n_rows"], r["rank"]))
+    assert by_col["x"] == [(None, 2, 1), ("a", 2, 2)]
+    # y: 1 and 2 tie at 2 rows -> '1' < '2' string order
+    assert by_col["y"] == [("1", 2, 1), ("2", 2, 2)]
+
+
+def test_type_inference_profile(spark):
+    """Lexical inference over staged strings: all-int -> int, mixed
+    int/float -> float, dates -> date, junk -> string; fractions exact."""
+    from oblate_spark.operators.stats import type_inference_profile
+
+    df = spark.createDataFrame(
+        [
+            ("1", "1.5", "2024-01-02", "x", None),
+            ("-42", "2", "1999-12-31", "7", "true"),
+            ("+7", "-3e2", "2024-11-30", "z", "False"),
+            (None, ".5", "2024-05-05", "q", "true"),
+        ],
+        "a string, b string, c string, d string, e string",
+    )
+    out = {r["column"]: r for r in type_inference_profile(df, ["a", "b", "c", "d", "e"]).collect()}
+    assert out["a"]["inferred_type"] == "int" and out["a"]["n_nonnull"] == 3
+    assert out["a"]["frac_int"] == 1.0
+    assert out["b"]["inferred_type"] == "float" and out["b"]["frac_int"] == 0.25
+    assert out["c"]["inferred_type"] == "date" and out["c"]["frac_date"] == 1.0
+    assert out["d"]["inferred_type"] == "string"
+    assert out["e"]["inferred_type"] == "bool" and out["e"]["n_nonnull"] == 3
+    # int lexes as float too
+    assert out["a"]["frac_float"] == 1.0
+
+
+def test_funnel_counts(spark):
+    """Ordered funnel: stage events before the user's previous-stage
+    first event do NOT count; monotone survivor counts."""
+    import datetime as dt
+
+    from oblate_spark.operators.sessions import funnel_counts
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # u1: view -> click -> buy (full funnel)
+        (1, t(0), "view"), (1, t(10), "click"), (1, t(20), "buy"),
+        # u2: click BEFORE first view -> click does not count
+        (2, t(5), "click"), (2, t(9), "view"),
+        # u3: view only
+        (3, t(1), "view"),
+        # u4: never viewed; click+buy must not count at all
+        (4, t(2), "click"), (4, t(3), "buy"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {
+        r["stage_idx"]: r
+        for r in funnel_counts(
+            df,
+            user_col="user_id",
+            ts_col="ts",
+            type_col="event_type",
+            stages=["view", "click", "buy"],
+        ).collect()
+    }
+    assert (out[1]["stage"], out[1]["n_users"]) == ("view", 3)
+    assert out[2]["n_users"] == 1  # only u1: u2's click precedes the view
+    assert out[3]["n_users"] == 1
