@@ -1777,6 +1777,55 @@ def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GROUP_CAP = 10
+
+
+def q_group_cap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (≤10 per source, hash-ordered kept set):
+    the RefinedWeb-style per-domain cap; the sharded two-phase physical
+    plan is oracle-checked against the one-window ground truth."""
+    from oblate_spark.operators.sampling import group_cap
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    out = group_cap(
+        d, group_col="source", id_col="doc_id", max_per_group=GROUP_CAP
+    )
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"), "source")
+
+
+def q_embedding_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-payload constraint check over embeddings with synthesized
+    corruption (truncated / NaN-poisoned / zeroed vectors via exclusive
+    id-modulus arms, identical in the oracle): dims, NaN/Inf/null
+    flags, exact-integer micro-norm, zero-norm regression flag."""
+    from oblate_spark.operators.similarity import embedding_validation
+
+    e = _read(spark, sf_dir, "embeddings")
+    vec = F.col("embedding")
+    corrupted = (
+        F.when(
+            F.col("vec_id") % 97 == 0,
+            F.expr("slice(embedding, 1, size(embedding) - 1)"),
+        )
+        .when(
+            F.col("vec_id") % 89 == 0,
+            F.concat(
+                F.array(F.lit(float("nan")).cast("float")),
+                F.expr("slice(embedding, 2, size(embedding) - 1)"),
+            ),
+        )
+        .when(
+            F.col("vec_id") % 83 == 0,
+            F.transform(vec, lambda x: F.lit(0.0).cast("float")),
+        )
+        .otherwise(vec)
+    )
+    staged = e.select("vec_id", corrupted.alias("embedding"))
+    return embedding_validation(
+        staged, id_col="vec_id", vec_col="embedding", expected_dim=64
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": q_validate_lineitem,
@@ -1857,6 +1906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_values_lineitem": q_frequent_values_lineitem,
         "type_inference_staged": q_type_inference_staged,
         "funnel_events": q_funnel_events,
+        "group_cap_documents": q_group_cap_documents,
+        "embedding_validation": q_embedding_validation,
         "pattern_ratio_events_props": q_pattern_ratio_events_props,
         "benford_cents_lineitem": q_benford_cents_lineitem,
         "windowed_psi_events": q_windowed_psi_events,
@@ -3186,6 +3237,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT 2::INT, '{FUNNEL_STAGES[1]}', count(*)::BIGINT FROM u2
             UNION ALL
             SELECT 3::INT, '{FUNNEL_STAGES[2]}', count(*)::BIGINT FROM u3
+        """,
+        "group_cap_documents": f"""
+            WITH r AS (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(concat('cap-v1', doc_id::VARCHAR)),
+                                    doc_id) AS rk
+                FROM documents
+            )
+            SELECT doc_id::BIGINT AS doc_id, source
+            FROM r WHERE rk <= {GROUP_CAP}
+        """,
+        "embedding_validation": """
+            WITH staged AS (
+                SELECT vec_id,
+                       CASE
+                           WHEN vec_id % 97 = 0
+                               THEN list_slice(embedding, 1, len(embedding) - 1)
+                           WHEN vec_id % 89 = 0
+                               THEN list_concat(['NaN'::FLOAT],
+                                        list_slice(embedding, 2, len(embedding)))
+                           WHEN vec_id % 83 = 0
+                               THEN list_transform(embedding, x -> 0.0::FLOAT)
+                           ELSE embedding
+                       END AS embedding
+                FROM embeddings
+            ), m AS (
+                SELECT vec_id, embedding,
+                       len(embedding) AS dim,
+                       len(list_filter(embedding,
+                           x -> x IS NOT NULL AND isnan(x::DOUBLE))) > 0 AS has_nan,
+                       len(list_filter(embedding,
+                           x -> x IS NOT NULL AND isinf(x::DOUBLE))) > 0 AS has_inf,
+                       len(list_filter(embedding, x -> x IS NULL)) AS n_null
+                FROM staged
+            )
+            SELECT vec_id, dim::INT AS dim,
+                   coalesce(dim = 64, false) AS dim_ok,
+                   n_null::INT AS n_null_components,
+                   coalesce(has_nan, false) AS has_nan,
+                   coalesce(has_inf, false) AS has_inf,
+                   CASE WHEN embedding IS NOT NULL AND NOT has_nan
+                             AND NOT has_inf AND n_null = 0
+                        THEN list_sum(list_transform(embedding,
+                                 x -> floor(x::DOUBLE * 1000.0)::BIGINT
+                                      * floor(x::DOUBLE * 1000.0)::BIGINT))::BIGINT
+                   END AS micro_sumsq,
+                   coalesce(CASE WHEN embedding IS NOT NULL AND NOT has_nan
+                                      AND NOT has_inf AND n_null = 0
+                                 THEN list_sum(list_transform(embedding,
+                                      x -> floor(x::DOUBLE * 1000.0)::BIGINT
+                                           * floor(x::DOUBLE * 1000.0)::BIGINT)) = 0
+                            END, false) AS zero_norm,
+                   coalesce(dim = 64, false)
+                       AND NOT coalesce(has_nan, true)
+                       AND NOT coalesce(has_inf, true)
+                       AND n_null = 0
+                       AND coalesce(CASE WHEN embedding IS NOT NULL AND NOT has_nan
+                                              AND NOT has_inf AND n_null = 0
+                                         THEN list_sum(list_transform(embedding,
+                                              x -> floor(x::DOUBLE * 1000.0)::BIGINT
+                                                   * floor(x::DOUBLE * 1000.0)::BIGINT)) != 0
+                                    END, false) AS ok
+            FROM m
         """,
         "uniqueness_metrics_documents": """
             WITH ci AS (

@@ -15,7 +15,7 @@ from typing import Mapping, Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["deterministic_sample", "mixture_sample", "pack_sequences", "group_split", "split_boundaries"]
+__all__ = ["deterministic_sample", "mixture_sample", "pack_sequences", "group_split", "split_boundaries", "group_cap"]
 
 #: hex prefix length used for the keep/drop threshold: 8 nibbles = 32
 #: uniform bits, granularity 2^-32 on the sampling rate.
@@ -263,3 +263,49 @@ def group_split(
         case = case.when(prefix < F.lit(bound), F.lit(name))
     case = case.otherwise(F.lit(bounds[-1][0]))
     return df.withColumn(split_col, case)
+
+
+def group_cap(
+    df: DataFrame,
+    *,
+    group_col: str,
+    id_col: str,
+    max_per_group: int,
+    salt: str = "cap-v1",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Keep at most ``max_per_group`` rows per group, chosen
+    DETERMINISTICALLY by md5(salt‖id) order — the per-domain cap of the
+    RefinedWeb/C4 recipes (no domain may dominate the training mix).
+    Re-running with the same salt reproduces the exact kept set; a new
+    salt draws an independent one. Selection is hash-ordered, not
+    "first N encountered", so it is layout-stable: repartitioning or
+    compacting the input cannot change which rows survive.
+
+    Hot-group safety (the reason this is NOT one window): a web corpus
+    has domains with 10^8 pages; ``row_number() OVER (PARTITION BY
+    domain)`` puts each domain in ONE task. Phase 1 ranks within
+    (group, shard) — shard derived from the selection hash itself, so
+    it is deterministic and oracle-free — and keeps ≤ cap per shard;
+    phase 2 ranks the ≤ cap·n_shards survivors per group. The kept set
+    equals the single-window top-cap by (hash, id) exactly (each
+    group-wide top-cap row is necessarily in its own shard's top-cap),
+    so a plain one-window SQL oracle is ground truth while the physical
+    plan never builds a domain-sized partition."""
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    shard = F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % n_shards
+    from pyspark.sql import Window
+
+    tagged = df.withColumn("__h", h).withColumn("__s", shard)
+    w1 = Window.partitionBy(group_col, "__s").orderBy("__h", id_col)
+    survivors = (
+        tagged.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= int(max_per_group))
+        .drop("__r1", "__s")
+    )
+    w2 = Window.partitionBy(group_col).orderBy("__h", id_col)
+    return (
+        survivors.withColumn("__r2", F.row_number().over(w2))
+        .filter(F.col("__r2") <= int(max_per_group))
+        .drop("__r2", "__h")
+    )

@@ -25,6 +25,7 @@ __all__ = [
     "knn_bruteforce_pandas",
     "label_centroids",
     "centroid_distance_outliers",
+    "embedding_validation",
 ]
 
 
@@ -481,4 +482,60 @@ def centroid_distance_outliers(
         (F.col("dist2_q").cast("double") > F.lit(thr_q * thr_q)).alias(
             "is_outlier"
         ),
+    )
+
+
+def embedding_validation(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    expected_dim: int,
+    scale: int = 1_000,
+) -> DataFrame:
+    """Vector-payload constraint check — the north rule's cast kernel
+    applied to embedding columns: per vector (id, dim, dim_ok,
+    n_null_components, has_nan, has_inf, micro_sumsq, zero_norm, ok).
+    A truncated vector, a NaN from a failed encoder, an all-zero row
+    from a crashed batch — each is a concrete training-corpus defect
+    this surfaces as a typed violation instead of a silent cosine of
+    garbage downstream.
+
+    All map-side Column expressions over the array — no explode, no
+    shuffle, pipelines from the scan. The norm is reported as
+    ``micro_sumsq``: components floor-quantized at ``scale`` (same
+    exact-integer discipline as :func:`label_centroids` — float sums
+    are order-dependent, BIGINT sums of quantized components are not),
+    squared and summed as BIGINTs, NULL when the vector has
+    NaN/Inf/null components (quantizing those is engine-UB).
+    ``zero_norm`` flags vectors whose every component quantizes to 0 —
+    |x| < 1/scale across the board, the "embedding service returned
+    zeros" regression."""
+    vec = F.col(vec_col)
+    dim = F.size(vec)
+    dbl = lambda x: x.cast("double")  # noqa: E731
+    has_nan = F.exists(vec, lambda x: F.isnan(dbl(x)))
+    has_inf = F.exists(vec, lambda x: F.abs(dbl(x)) == F.lit(float("inf")))
+    n_null = F.size(F.filter(vec, lambda x: x.isNull()))
+    q = lambda x: F.floor(dbl(x) * F.lit(float(scale))).cast("bigint")  # noqa: E731
+    sumsq = F.aggregate(
+        vec, F.lit(0).cast("bigint"), lambda acc, x: acc + q(x) * q(x)
+    )
+    clean = ~has_nan & ~has_inf & (n_null == 0)
+    micro_sumsq = F.when(vec.isNotNull() & clean, sumsq)
+    dim_ok = dim == F.lit(int(expected_dim))
+    return df.select(
+        F.col(id_col),
+        dim.cast("int").alias("dim"),
+        F.coalesce(dim_ok, F.lit(False)).alias("dim_ok"),
+        n_null.cast("int").alias("n_null_components"),
+        F.coalesce(has_nan, F.lit(False)).alias("has_nan"),
+        F.coalesce(has_inf, F.lit(False)).alias("has_inf"),
+        micro_sumsq.alias("micro_sumsq"),
+        F.coalesce(micro_sumsq == 0, F.lit(False)).alias("zero_norm"),
+        (
+            F.coalesce(dim_ok, F.lit(False))
+            & F.coalesce(clean, F.lit(False))
+            & F.coalesce(micro_sumsq != 0, F.lit(False))
+        ).alias("ok"),
     )

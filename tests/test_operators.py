@@ -1781,3 +1781,76 @@ def test_funnel_counts(spark):
     assert (out[1]["stage"], out[1]["n_users"]) == ("view", 3)
     assert out[2]["n_users"] == 1  # only u1: u2's click precedes the view
     assert out[3]["n_users"] == 1
+
+
+def test_group_cap(spark):
+    """Per-group cap: deterministic hash-ordered kept set equals the
+    one-window top-cap ground truth; small groups unaffected; rerun
+    reproduces exactly."""
+    from pyspark.sql import Window
+
+    from oblate_spark.operators.sampling import group_cap
+
+    df = spark.createDataFrame(
+        [(g, i) for g in ("a", "b") for i in range(40)] + [("tiny", 0)],
+        "g string, id long",
+    )
+    capped = group_cap(df, group_col="g", id_col="id", max_per_group=5)
+    rows = capped.collect()
+    sizes = {}
+    for r in rows:
+        sizes[r["g"]] = sizes.get(r["g"], 0) + 1
+    assert sizes == {"a": 5, "b": 5, "tiny": 1}
+    # ground truth: single window by (md5(salt||id), id)
+    h = F.md5(F.concat(F.lit("cap-v1"), F.col("id").cast("string")))
+    w = Window.partitionBy("g").orderBy(h, "id")
+    truth = (
+        df.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= 5)
+        .drop("__r")
+    )
+    assert {(r["g"], r["id"]) for r in rows} == {
+        (r["g"], r["id"]) for r in truth.collect()
+    }
+    again = group_cap(df, group_col="g", id_col="id", max_per_group=5)
+    assert {(r["g"], r["id"]) for r in again.collect()} == {
+        (r["g"], r["id"]) for r in rows
+    }
+    # schema passthrough: no helper columns survive
+    assert capped.columns == ["g", "id"]
+
+
+def test_embedding_validation(spark):
+    """Vector constraint kernel: wrong dim, NaN, Inf, null component,
+    zero vector and healthy vector each produce the right flags."""
+    from oblate_spark.operators.similarity import embedding_validation
+
+    nan, inf = float("nan"), float("inf")
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -0.25, 1.0]),
+            (2, [0.5, 0.25]),          # wrong dim
+            (3, [nan, 0.0, 0.0]),      # NaN
+            (4, [inf, 0.0, 0.0]),      # Inf
+            (5, [None, 0.1, 0.2]),     # null component
+            (6, [0.0, 0.0, 0.0]),      # zero norm
+            (7, None),                 # null vector
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in embedding_validation(
+            df, id_col="vec_id", vec_col="embedding", expected_dim=3
+        ).collect()
+    }
+    good = out[1]
+    assert good["ok"] and good["dim_ok"] and not good["zero_norm"]
+    # floor(0.5*1000)^2 + floor(-0.25*1000)^2 + floor(1*1000)^2
+    assert good["micro_sumsq"] == 500**2 + 250**2 + 1000**2
+    assert not out[2]["dim_ok"] and not out[2]["ok"]
+    assert out[3]["has_nan"] and out[3]["micro_sumsq"] is None
+    assert out[4]["has_inf"] and not out[4]["ok"]
+    assert out[5]["n_null_components"] == 1 and out[5]["micro_sumsq"] is None
+    assert out[6]["zero_norm"] and not out[6]["ok"]
+    assert out[7]["dim"] is None and not out[7]["ok"]

@@ -610,3 +610,59 @@ def test_cross_table_violations_equi_join(spark):
     plan = plan_of(out)
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "Join" in plan
+
+
+def test_key_skew_profile_plans_top_n_not_global_sort(spark, tmp_path):
+    """The heavy-key audit must plan orderBy+limit as
+    TakeOrderedAndProject (distributed per-partition top-N): a global
+    Sort over a billion-key counts frame would single-task the profile
+    of exactly the tables that need it."""
+    from oblate_spark.operators.stats import key_skew_profile
+
+    p = str(tmp_path / "k")
+    spark.range(0, 1000).select((F.col("id") % 37).alias("k")).write.parquet(p)
+    out = key_skew_profile(spark.read.parquet(p), "k", top_n=5)
+    plan = plan_of(out)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_type_inference_single_pass_no_expand(spark, tmp_path):
+    """All per-column pattern counts must come from ONE aggregate over
+    the scan — no Expand (row multiplication) and exactly one
+    HashAggregate pair, regardless of column count."""
+    from oblate_spark.operators.stats import type_inference_profile
+
+    p = str(tmp_path / "t")
+    spark.range(0, 500).select(
+        F.col("id").cast("string").alias("a"),
+        F.concat(F.col("id").cast("string"), F.lit(".5")).alias("b"),
+        F.lit("x y").alias("c"),
+    ).write.parquet(p)
+    out = type_inference_profile(spark.read.parquet(p), ["a", "b", "c"])
+    plan = plan_of(out)
+    assert "Expand" not in plan, plan[:2000]
+    # one partial + one final aggregate over the table (formatted output
+    # prints each node twice: once in the tree, once as a detail header)
+    import re
+
+    nodes = re.findall(r"\(\d+\) HashAggregate", plan)
+    assert len(nodes) == 2, plan[:2000]
+    assert "EvalPython" not in plan
+
+
+def test_strip_boilerplate_broadcast_guard(spark):
+    """Under the cap the boilerplate join-back broadcasts; above it
+    (cap=0) the plan must contain NO BroadcastExchange for that join —
+    the driver-OOM guard for web-scale banner sets."""
+    from oblate_spark.operators.text import strip_boilerplate
+
+    lines = spark.createDataFrame(
+        [(i, "g", 0, "x") for i in range(4)],
+        "doc long, grp string, idx int, line string",
+    )
+    kw = dict(doc_col="doc", group_col="grp", idx_col="idx",
+              line_col="line", min_docs=2)
+    broad = plan_of(strip_boilerplate(lines, max_broadcast_lines=10, **kw))
+    assert "BroadcastExchange" in broad, broad[:2000]
+    fallback = plan_of(strip_boilerplate(lines, max_broadcast_lines=0, **kw))
+    assert "BroadcastExchange" not in fallback, fallback[:2000]
