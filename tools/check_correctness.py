@@ -89,25 +89,26 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from oblate_spark.session import get_spark
 
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    spark = get_spark(cores=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
-
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     only = set(sys.argv[1:])
     # a selection that matches nothing must FAIL, not vacuously print
     # ALL OK — a typo'd (or "--only"-prefixed, or comma-joined) name
-    # otherwise reports success for a query that never ran
+    # otherwise reports success for a query that never ran. Checked
+    # BEFORE the SparkSession boots so the rejection is instant.
     unknown = only - set(qs)
     if unknown:
         raise SystemExit(
             f"unknown query name(s): {sorted(unknown)} — pass bare "
             "space-separated names from queries()"
         )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    spark = get_spark(cores=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     failures = 0
     for name, fn in qs.items():
