@@ -1826,6 +1826,39 @@ def q_embedding_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHASH_NEARDUP_N = 4000
+
+
+def q_phash_near_dup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash Hamming distance —
+    the north rule's phash-uniqueness check extended to NEAR-duplicates
+    (re-encoded / slightly-recompressed copies whose phash differs in a
+    few bits). Bit-sliced LSH via ``simhash_hamming_pairs`` (4 bands of
+    12 bits over a 48-bit signature; bands > max_distance, so pigeonhole
+    makes the banded join exhaustive and the all-pairs DuckDB oracle is
+    exact ground truth). The fixture plants XOR-pair near-dups AND a
+    ~n/101-row hot clique sharing one (band, slice) bucket — the "hot
+    phash bucket" skew case; the bucket join's fan-out there is a
+    genuine near-dup cluster, which AQE skew-split absorbs at scale.
+    Input synthesized closed-form (fixtures.build_phash_df): pure
+    Column arithmetic over spark.range, no Python rows."""
+    from oblate_spark.fixtures import PHASH_BITS, build_phash_df
+    from oblate_spark.operators.dedup import simhash_hamming_pairs
+
+    imgs = build_phash_df(spark, PHASH_NEARDUP_N)
+    out = simhash_hamming_pairs(
+        imgs,
+        id_col="image_id",
+        sig_col="phash",
+        bits=PHASH_BITS,
+        bands=4,
+        max_distance=3,
+    )
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": q_validate_lineitem,
@@ -1908,6 +1941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_events": q_funnel_events,
         "group_cap_documents": q_group_cap_documents,
         "embedding_validation": q_embedding_validation,
+        "phash_near_dup_images": q_phash_near_dup_images,
         "pattern_ratio_events_props": q_pattern_ratio_events_props,
         "benford_cents_lineitem": q_benford_cents_lineitem,
         "windowed_psi_events": q_windowed_psi_events,
@@ -1999,6 +2033,22 @@ def _sql_simhash_pairs(max_distance: int = 3) -> str:
            bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
     FROM sims a JOIN sims b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_distance}
+    """
+
+
+def _sql_phash_pairs(n_rows: int, max_distance: int = 3) -> str:
+    """Brute-force all-pairs twin of the banded phash LSH join — exact
+    ground truth (pigeonhole, as in _sql_simhash_pairs). The phash CTE
+    body lives beside the Python/Column formula in
+    fixtures.phash_oracle_cte so the twins can't drift apart."""
+    from oblate_spark.fixtures import phash_oracle_cte
+
+    return f"""
+    WITH t AS ({phash_oracle_cte(n_rows)})
+    SELECT a.image_id AS id_a, b.image_id AS id_b,
+           bit_count(xor(a.phash, b.phash))::INT AS hamming
+    FROM t a JOIN t b ON a.image_id < b.image_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= {max_distance}
     """
 
 
@@ -2771,6 +2821,7 @@ def oracle_sql() -> dict[str, str]:
         # bands > max_distance makes the engine's banded LSH provably
         # exhaustive, so the all-pairs filter IS its exact ground truth
         "simhash_near_dup_documents": _sql_simhash_pairs(),
+        "phash_near_dup_images": _sql_phash_pairs(PHASH_NEARDUP_N),
         "ngram_contamination_documents": f"""
             WITH grams AS (
                 SELECT doc_id, list_distinct(list_transform(

@@ -451,3 +451,85 @@ def build_video_df(spark: SparkSession, n_rows: int, *, partitions: int | None =
             yield pd.DataFrame(rows)
 
     return spark.range(0, n_rows, numPartitions=partitions).mapInPandas(gen, VIDEO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Closed-form phash table: near-dup structure expressible in BOTH engines
+# ---------------------------------------------------------------------------
+
+PHASH_BITS = 48
+_PHASH_MOD = 1 << PHASH_BITS  # 281474976710656
+_PHASH_MUL = 1099511628211  # FNV-1a 64 prime; i*MUL stays < 2^63 for i < 8.3e6
+_PHASH_HOT = 123456789012345  # < 2^48: the hot bucket's shared signature
+
+
+def phash_for_index(i: int) -> int:
+    """Closed-form 48-bit perceptual-hash stand-in for row ``i`` — the
+    same integer a DuckDB oracle computes with plain bigint arithmetic
+    (no engine-specific hash function), so the DISTRIBUTED banded-LSH
+    join can be verified against an independent brute-force twin.
+
+    Planted structure:
+      * ``i % 101 == 0``  -> hot clique: HOT xor one low bit (i % 3) —
+        ~n/101 rows whose pairwise Hamming distance is 0 or 2. This is
+        the north rule's "hot phash bucket": one (band, slice) bucket
+        carrying a whole near-dup cluster, the skew case.
+      * ``i % 5 == 4``    -> XOR pair with row i-1's BASE hash: two
+        distinct flipped bits (positions i%48 and (7i+13)%48 — always
+        different: their gap 6i+13 is odd, never 0 mod 48), Hamming
+        exactly 2.
+      * otherwise         -> base(i) = (i * FNV_PRIME) mod 2^48,
+        spread uniformly over the 48-bit space.
+    Rules reference base(i-1), never phash(i-1), so the formula is
+    non-recursive and row-local in SQL."""
+    if i % 101 == 0:
+        return _PHASH_HOT ^ (1 << (i % 3))
+    if i % 5 == 4:
+        base_prev = ((i - 1) * _PHASH_MUL) % _PHASH_MOD
+        return base_prev ^ (1 << (i % PHASH_BITS)) ^ (1 << ((7 * i + 13) % PHASH_BITS))
+    return (i * _PHASH_MUL) % _PHASH_MOD
+
+
+def build_phash_df(spark: SparkSession, n_rows: int, *, partitions: int | None = None) -> DataFrame:
+    """(image_id string, phash bigint) via pure Column arithmetic over
+    ``spark.range`` — zero Python rows, identical at any parallelism."""
+    from pyspark.sql import functions as F
+
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 8)
+    i = F.col("id")
+    base = (i * F.lit(_PHASH_MUL)) % F.lit(_PHASH_MOD)
+    base_prev = ((i - 1) * F.lit(_PHASH_MUL)) % F.lit(_PHASH_MOD)
+    # python-API shiftleft takes a literal shift; the SQL builtin takes
+    # a column — route the column-shift cases through expr()
+    pair_mask = F.expr(
+        f"shiftleft(1L, cast(id % {PHASH_BITS} as int)) "
+        f"^ shiftleft(1L, cast((id * 7 + 13) % {PHASH_BITS} as int))"
+    )
+    hot = F.expr(f"{_PHASH_HOT}L ^ shiftleft(1L, cast(id % 3 as int))")
+    phash = (
+        F.when(i % 101 == 0, hot)
+        .when(i % 5 == 4, base_prev.bitwiseXOR(pair_mask))
+        .otherwise(base)
+    )
+    return spark.range(0, n_rows, numPartitions=partitions).select(
+        F.format_string("img_%012d", i).alias("image_id"),
+        phash.cast("bigint").alias("phash"),
+    )
+
+
+def phash_oracle_cte(n_rows: int) -> str:
+    """The DuckDB twin of :func:`build_phash_df` as a CTE body — kept
+    beside the Python formula so the two can't drift apart silently."""
+    return f"""
+        SELECT 'img_' || lpad(i::VARCHAR, 12, '0') AS image_id,
+               CASE
+                 WHEN i % 101 = 0 THEN xor({_PHASH_HOT}::BIGINT, (1::BIGINT << (i % 3)))
+                 WHEN i % 5 = 4 THEN xor(
+                     ((i - 1) * {_PHASH_MUL}) % {_PHASH_MOD},
+                     xor((1::BIGINT << (i % {PHASH_BITS})),
+                         (1::BIGINT << ((i * 7 + 13) % {PHASH_BITS}))))
+                 ELSE (i * {_PHASH_MUL}) % {_PHASH_MOD}
+               END AS phash
+        FROM (SELECT unnest(generate_series(0, {n_rows - 1})) AS i)
+    """

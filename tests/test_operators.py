@@ -1854,3 +1854,67 @@ def test_embedding_validation(spark):
     assert out[5]["n_null_components"] == 1 and out[5]["micro_sumsq"] is None
     assert out[6]["zero_norm"] and not out[6]["ok"]
     assert out[7]["dim"] is None and not out[7]["ok"]
+
+
+def test_phash_fixture_twins_agree(spark):
+    """The closed-form phash fixture exists in three forms — Python
+    (phash_for_index), Spark Column arithmetic (build_phash_df), and a
+    DuckDB CTE (phash_oracle_cte) — and all three must be identical,
+    or the phash_near_dup_images oracle gate tests nothing."""
+    import duckdb
+
+    from oblate_spark.fixtures import (
+        build_phash_df,
+        phash_for_index,
+        phash_oracle_cte,
+    )
+
+    n = 1500
+    got = {r.image_id: r.phash for r in build_phash_df(spark, n).collect()}
+    duck = dict(
+        duckdb.sql(
+            "SELECT image_id, phash FROM (" + phash_oracle_cte(n) + ")"
+        ).fetchall()
+    )
+    for j in range(n):
+        iid = f"img_{j:012d}"
+        assert got[iid] == phash_for_index(j) == duck[iid], j
+    # planted structure is present: hot clique rows share all but the
+    # low 2 bits; XOR pairs sit at hamming exactly 2 from base(i-1)
+    assert bin(phash_for_index(0) ^ phash_for_index(101)).count("1") <= 2
+    base_3 = phash_for_index(3)
+    assert bin(base_3 ^ phash_for_index(4)).count("1") == 2
+
+
+def test_phash_near_dup_banded_equals_bruteforce(spark):
+    """Pigeonhole exhaustiveness on the phash fixture: the banded LSH
+    join returns EXACTLY the all-pairs hamming<=3 set (including the
+    planted hot clique, whose C(k,2) pairs all ride one bucket)."""
+    from oblate_spark.fixtures import PHASH_BITS, build_phash_df
+    from oblate_spark.operators.dedup import simhash_hamming_pairs
+
+    df = build_phash_df(spark, 600).cache()
+    try:
+        banded = simhash_hamming_pairs(
+            df, id_col="image_id", sig_col="phash",
+            bits=PHASH_BITS, bands=4, max_distance=3,
+        )
+        got = {(r.id_a, r.id_b, r.hamming) for r in banded.collect()}
+        a = df.select(F.col("image_id").alias("id_a"), F.col("phash").alias("pa"))
+        b = df.select(F.col("image_id").alias("id_b"), F.col("phash").alias("pb"))
+        brute = (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a", "id_b",
+                F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= 3)
+        )
+        want = {(r.id_a, r.id_b, r.hamming) for r in brute.collect()}
+        assert got == want
+        # hot clique: 600//101 + 1 = 6 members -> all 15 pairs present
+        hot_ids = {f"img_{i:012d}" for i in range(0, 600, 101)}
+        hot_pairs = {(x, y) for (x, y, _) in got if x in hot_ids and y in hot_ids}
+        assert len(hot_pairs) == 15
+    finally:
+        df.unpersist()
