@@ -1826,6 +1826,46 @@ def q_embedding_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IQR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_iqr_outliers_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (1.5·IQR) outlier profile over lineitem numerics,
+    computed on integer cents so the exact-percentile interpolation is
+    bit-identical across engines (dyadic fractions over exact integers
+    — the integer-scaling pattern the tfidf oracle uses). Two
+    whole-table aggregates total, regardless of column count."""
+    from oblate_spark.operators.stats import iqr_outlier_profile
+
+    li = _read(spark, sf_dir, "lineitem")
+    cents = li.select(
+        *[F.round(F.col(c) * 100, 0).cast("bigint").alias(c) for c in IQR_COLS]
+    )
+    return iqr_outlier_profile(cents, IQR_COLS)
+
+
+def _sql_iqr_lineitem(k: str = "1.5") -> str:
+    """Per-column brute quartiles + fence counts, UNION ALL'd. Uses the
+    same cents scaling; quantile_cont's linear interpolation over exact
+    integers with dyadic fractions matches Spark's percentile exactly."""
+    parts = []
+    for c in IQR_COLS:
+        parts.append(f"""
+        SELECT '{c}' AS column, q.q1 AS q1, q.q3 AS q3,
+               q.q1 - {k}*(q.q3 - q.q1) AS lo_fence,
+               q.q3 + {k}*(q.q3 - q.q1) AS hi_fence,
+               count(CASE WHEN s.v < q.q1 - {k}*(q.q3 - q.q1) THEN 1 END)::BIGINT AS n_below,
+               count(CASE WHEN s.v > q.q3 + {k}*(q.q3 - q.q1) THEN 1 END)::BIGINT AS n_above
+        FROM (SELECT round({c} * 100)::BIGINT AS v FROM lineitem) s
+        CROSS JOIN (
+            SELECT quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3
+            FROM (SELECT round({c} * 100)::BIGINT AS v FROM lineitem)
+        ) q
+        GROUP BY q.q1, q.q3
+        """)
+    return " UNION ALL ".join(parts)
+
+
 PHASH_NEARDUP_N = 4000
 
 
@@ -1942,6 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_cap_documents": q_group_cap_documents,
         "embedding_validation": q_embedding_validation,
         "phash_near_dup_images": q_phash_near_dup_images,
+        "iqr_outliers_lineitem": q_iqr_outliers_lineitem,
         "pattern_ratio_events_props": q_pattern_ratio_events_props,
         "benford_cents_lineitem": q_benford_cents_lineitem,
         "windowed_psi_events": q_windowed_psi_events,
@@ -2822,6 +2863,7 @@ def oracle_sql() -> dict[str, str]:
         # exhaustive, so the all-pairs filter IS its exact ground truth
         "simhash_near_dup_documents": _sql_simhash_pairs(),
         "phash_near_dup_images": _sql_phash_pairs(PHASH_NEARDUP_N),
+        "iqr_outliers_lineitem": _sql_iqr_lineitem(),
         "ngram_contamination_documents": f"""
             WITH grams AS (
                 SELECT doc_id, list_distinct(list_transform(

@@ -47,6 +47,7 @@ __all__ = [
     "frequent_values_profile",
     "TYPE_PATTERNS",
     "type_inference_profile",
+    "iqr_outlier_profile",
 ]
 
 
@@ -940,4 +941,86 @@ def type_inference_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         frac("c_bool").alias("frac_bool"),
         frac("c_date").alias("frac_date"),
         inferred.alias("inferred_type"),
+    )
+
+
+def iqr_outlier_profile(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    k: float = 1.5,
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Tukey-fence outlier profile per numeric column: (column, q1, q3,
+    lo_fence, hi_fence, n_below, n_above) with fences at q1 - k*IQR /
+    q3 + k*IQR.
+
+    Two passes, each a single whole-table aggregate over ALL columns
+    together: (1) quartiles, collected to the driver (bounded: 2
+    scalars per column) so pass (2) can count fence crossings with
+    literal comparisons inside one codegen'd aggregate — no join, no
+    per-column jobs.
+
+    ``exact=True`` uses the exact ``percentile`` aggregate — right for
+    oracle comparison and for integer/low-cardinality inputs (Spark's
+    implementation buffers per-partition value->count maps, so its
+    memory is O(distinct values), not O(rows)). At web scale over
+    high-cardinality doubles pass ``exact=False`` for the mergeable
+    constant-memory ``percentile_approx`` sketch instead.
+
+    Exactness contract (how the DuckDB oracle matches bit-for-bit):
+    feed integer-valued columns (e.g. prices scaled to cents) and keep
+    ``k`` dyadic (1.5 default). Quartile interpolation fractions are
+    then dyadic (0, .25, .5, .75), every product/sum below 2^53 is
+    exact in ieee754, and both engines' linear interpolation — in any
+    evaluation order — lands on the identical double."""
+    p = [0.25, 0.75]
+    if exact:
+        qagg = [F.percentile(F.col(c), p).alias(c) for c in cols]
+    else:
+        qagg = [F.percentile_approx(F.col(c), p, accuracy).alias(c) for c in cols]
+    qrow = df.agg(*qagg).first()  # bounded collect: 2 scalars per column
+
+    aggs = []
+    fences: dict[str, tuple] = {}
+    for c in cols:
+        q1, q3 = (qrow[c] or (None, None))[0], (qrow[c] or (None, None))[1]
+        if q1 is None or q3 is None:
+            lo = hi = None
+        else:
+            iqr = q3 - q1
+            lo, hi = q1 - k * iqr, q3 + k * iqr
+        fences[c] = (q1, q3, lo, hi)
+        below = F.lit(False) if lo is None else F.col(c) < F.lit(lo)
+        above = F.lit(False) if hi is None else F.col(c) > F.lit(hi)
+        aggs.append(F.sum(F.when(below, 1).otherwise(0)).alias(f"{c}__below"))
+        aggs.append(F.sum(F.when(above, 1).otherwise(0)).alias(f"{c}__above"))
+    wide = df.agg(*aggs)
+
+    tuples = ", ".join(f"'{c}', `{c}__below`, `{c}__above`" for c in cols)
+    stacked = wide.selectExpr(
+        f"stack({len(cols)}, {tuples}) as (column, n_below, n_above)"
+    )
+    q1c = F.create_map(
+        *[x for c in cols for x in (F.lit(c), F.lit(fences[c][0]))]
+    )
+    q3c = F.create_map(
+        *[x for c in cols for x in (F.lit(c), F.lit(fences[c][1]))]
+    )
+    loc = F.create_map(
+        *[x for c in cols for x in (F.lit(c), F.lit(fences[c][2]))]
+    )
+    hic = F.create_map(
+        *[x for c in cols for x in (F.lit(c), F.lit(fences[c][3]))]
+    )
+    key = F.col("column")
+    return stacked.select(
+        "column",
+        q1c[key].cast("double").alias("q1"),
+        q3c[key].cast("double").alias("q3"),
+        loc[key].cast("double").alias("lo_fence"),
+        hic[key].cast("double").alias("hi_fence"),
+        F.col("n_below").cast("bigint").alias("n_below"),
+        F.col("n_above").cast("bigint").alias("n_above"),
     )

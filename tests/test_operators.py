@@ -1918,3 +1918,29 @@ def test_phash_near_dup_banded_equals_bruteforce(spark):
         assert len(hot_pairs) == 15
     finally:
         df.unpersist()
+
+
+def test_iqr_outlier_profile(spark):
+    """Hand-computed Tukey fences on 0..100 plus planted extremes; an
+    all-null column yields null fences and zero counts (never an
+    error); the fence comparison is strict (fence values themselves
+    are inliers)."""
+    from oblate_spark.operators.stats import iqr_outlier_profile
+
+    vals = list(range(101)) + [1000, -1000]   # q1=25.25, q3=75.75 over n=103
+    rows = [(v, None) for v in vals]
+    df = spark.createDataFrame(rows, "x bigint, y bigint")
+    out = {r.column: r for r in iqr_outlier_profile(df, ["x", "y"]).collect()}
+
+    x = out["x"]
+    # n=103 -> h=(n-1)*p: q1 at 25.5 -> 24.5... verify against numpy
+    import numpy as np
+    q1, q3 = np.percentile(sorted(vals), [25, 75], method="linear")
+    assert x.q1 == q1 and x.q3 == q3
+    iqr = q3 - q1
+    assert x.lo_fence == q1 - 1.5 * iqr and x.hi_fence == q3 + 1.5 * iqr
+    assert x.n_below == 1 and x.n_above == 1  # only the planted extremes
+
+    y = out["y"]
+    assert y.q1 is None and y.hi_fence is None
+    assert y.n_below == 0 and y.n_above == 0
