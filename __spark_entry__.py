@@ -1899,6 +1899,56 @@ def q_phash_near_dup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phash_bit_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bit signature drift between two image snapshots: the current
+    snapshot plants a decoder-change-style bias (bit 5 forced on for
+    every 7th image). One algebraic aggregate per side (48 map-side
+    combinable sums, no row fan-out), 48-row output — catches a
+    systematic phash-pipeline change BEFORE any pair-level near-dup
+    stage would see it."""
+    from oblate_spark.fixtures import PHASH_BITS, build_phash_df
+    from oblate_spark.operators.drift import signature_bit_drift
+
+    base = build_phash_df(spark, PHASH_NEARDUP_N)
+    i = F.expr("cast(substring(image_id, 5) as bigint)")
+    cur = base.select(
+        "image_id",
+        F.when(i % 7 == 0, F.expr("phash | 32"))
+        .otherwise(F.col("phash"))
+        .alias("phash"),
+    )
+    return signature_bit_drift(base, cur, "phash", bits=PHASH_BITS)
+
+
+def _sql_phash_bit_drift(n_rows: int, threshold: str = "0.05") -> str:
+    from oblate_spark.fixtures import PHASH_BITS, phash_oracle_cte
+
+    return f"""
+    WITH t AS ({phash_oracle_cte(n_rows)}),
+    cur AS (
+        SELECT image_id,
+               CASE WHEN CAST(substring(image_id, 5) AS BIGINT) % 7 = 0
+                    THEN phash | 32 ELSE phash END AS phash
+        FROM t
+    ),
+    bits AS (SELECT unnest(generate_series(0, {PHASH_BITS - 1})) AS bit),
+    pb AS (
+        SELECT b.bit AS bit, sum((t.phash >> b.bit) & 1) AS ones, count(*) AS n
+        FROM t CROSS JOIN bits b GROUP BY b.bit
+    ),
+    pc AS (
+        SELECT b.bit AS bit, sum((cur.phash >> b.bit) & 1) AS ones, count(*) AS n
+        FROM cur CROSS JOIN bits b GROUP BY b.bit
+    )
+    SELECT pb.bit::INT AS bit,
+           pb.ones::DOUBLE / pb.n AS frac_base,
+           pc.ones::DOUBLE / pc.n AS frac_current,
+           abs(pc.ones::DOUBLE / pc.n - pb.ones::DOUBLE / pb.n) AS abs_diff,
+           abs(pc.ones::DOUBLE / pc.n - pb.ones::DOUBLE / pb.n) > {threshold} AS flagged
+    FROM pb JOIN pc ON pb.bit = pc.bit
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": q_validate_lineitem,
@@ -1983,6 +2033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_validation": q_embedding_validation,
         "phash_near_dup_images": q_phash_near_dup_images,
         "iqr_outliers_lineitem": q_iqr_outliers_lineitem,
+        "phash_bit_drift": q_phash_bit_drift,
         "pattern_ratio_events_props": q_pattern_ratio_events_props,
         "benford_cents_lineitem": q_benford_cents_lineitem,
         "windowed_psi_events": q_windowed_psi_events,
@@ -2864,6 +2915,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup_documents": _sql_simhash_pairs(),
         "phash_near_dup_images": _sql_phash_pairs(PHASH_NEARDUP_N),
         "iqr_outliers_lineitem": _sql_iqr_lineitem(),
+        "phash_bit_drift": _sql_phash_bit_drift(PHASH_NEARDUP_N),
         "ngram_contamination_documents": f"""
             WITH grams AS (
                 SELECT doc_id, list_distinct(list_transform(

@@ -39,6 +39,8 @@ __all__ = [
     "volume_anomalies",
     "benford_first_digit",
     "category_diff",
+    "signature_bit_profile",
+    "signature_bit_drift",
 ]
 
 
@@ -651,3 +653,62 @@ def category_diff(df: DataFrame, col, *, base_cond, cur_cond) -> DataFrame:
         .otherwise(F.lit("kept"))
     )
     return out.select("category", "n_base", "n_current", status.alias("status"))
+
+
+def signature_bit_profile(
+    df: DataFrame, sig_col: str, *, bits: int = 48
+) -> DataFrame:
+    """Per-bit popcount profile of an integer signature column
+    (phash/simhash): (bit, ones, n, frac_ones). On a healthy perceptual
+    hash every bit sits near frac 0.5; a decoder or preprocessing
+    change that biases specific DCT coefficients shows up as specific
+    bits drifting — BEFORE any pair-level near-dup comparison would.
+
+    One whole-table aggregate with ``bits`` algebraic sums (map-side
+    combinable, one scan, no row fan-out — an explode over bit indexes
+    would multiply the scan output ``bits``x at 100 TB), unpivoted by
+    a stack projection."""
+    aggs = [F.count(F.col(sig_col)).alias("__n")]
+    for b in range(bits):
+        aggs.append(
+            F.sum(F.shiftright(F.col(sig_col), b).bitwiseAND(F.lit(1)))
+            .alias(f"__b{b}")
+        )
+    wide = df.agg(*aggs)
+    tuples = ", ".join(f"{b}, `__b{b}`" for b in range(bits))
+    return wide.selectExpr(
+        "__n", f"stack({bits}, {tuples}) as (bit, ones)"
+    ).select(
+        F.col("bit").cast("int").alias("bit"),
+        F.col("ones").cast("bigint").alias("ones"),
+        F.col("__n").cast("bigint").alias("n"),
+        (F.col("ones") / F.col("__n")).alias("frac_ones"),
+    )
+
+
+def signature_bit_drift(
+    base: DataFrame,
+    current: DataFrame,
+    sig_col: str,
+    *,
+    bits: int = 48,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Per-bit frequency drift between two snapshots' signature
+    columns: (bit, frac_base, frac_current, abs_diff, flagged). Each
+    side is one aggregate; the join is ``bits`` rows — driver-trivial,
+    broadcast by AQE regardless of input scale."""
+    b = signature_bit_profile(base, sig_col, bits=bits).select(
+        "bit", F.col("frac_ones").alias("frac_base")
+    )
+    c = signature_bit_profile(current, sig_col, bits=bits).select(
+        "bit", F.col("frac_ones").alias("frac_current")
+    )
+    diff = F.abs(F.col("frac_current") - F.col("frac_base"))
+    return b.join(c, "bit").select(
+        "bit",
+        "frac_base",
+        "frac_current",
+        diff.alias("abs_diff"),
+        (diff > F.lit(threshold)).alias("flagged"),
+    )

@@ -1944,3 +1944,30 @@ def test_iqr_outlier_profile(spark):
     y = out["y"]
     assert y.q1 is None and y.hi_fence is None
     assert y.n_below == 0 and y.n_above == 0
+
+
+def test_signature_bit_drift_flags_planted_bias(spark):
+    """A decoder-change-style bias (bit 5 forced on for i%7==0 rows)
+    must flag exactly that bit; every profile row carries the full
+    table count and an exact ones/n fraction."""
+    from oblate_spark.fixtures import build_phash_df
+    from oblate_spark.operators.drift import (
+        signature_bit_drift,
+        signature_bit_profile,
+    )
+
+    base = build_phash_df(spark, 2100)
+    i = F.expr("cast(substring(image_id, 5) as bigint)")
+    cur = base.select(
+        "image_id",
+        F.when(i % 7 == 0, F.expr("phash | 32"))
+        .otherwise(F.col("phash"))
+        .alias("phash"),
+    )
+    rows = signature_bit_drift(base, cur, "phash", bits=48).collect()
+    assert len(rows) == 48
+    assert [r.bit for r in rows if r.flagged] == [5]
+
+    prof = {r.bit: r for r in signature_bit_profile(base, "phash").collect()}
+    assert all(prof[b].n == 2100 for b in range(48))
+    assert all(prof[b].frac_ones == prof[b].ones / 2100 for b in range(48))
