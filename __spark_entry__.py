@@ -1899,6 +1899,62 @@ def q_phash_near_dup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CAPTION_EXPR_SPARK = "concat('cap_', cast(shiftright(phash, 8) % 1009 as string))"
+_CAPTION_EXPR_SQL = "'cap_' || ((phash >> 8) % 1009)::VARCHAR"
+
+
+def q_phash_caption_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star composition over image+caption pairs: near-dup pairs
+    by phash (banded LSH) annotated with caption agreement. Captions
+    derive from the HIGH bits of the content hash, so exact dups and
+    low-bit near-dups agree ('safe to collapse') while pairs whose
+    flipped bits reach past bit 8 diverge — the 'same image, different
+    alt-text' curation signal. Pair list ≪ corpus, so AQE broadcasts
+    it into both caption joins; the corpus never shuffles."""
+    from oblate_spark.fixtures import PHASH_BITS, build_phash_df
+    from oblate_spark.operators.dedup import (
+        pair_label_consistency,
+        simhash_hamming_pairs,
+    )
+
+    items = build_phash_df(spark, PHASH_NEARDUP_N).withColumn(
+        "caption", F.expr(_CAPTION_EXPR_SPARK)
+    )
+    pairs = simhash_hamming_pairs(
+        items,
+        id_col="image_id",
+        sig_col="phash",
+        bits=PHASH_BITS,
+        bands=4,
+        max_distance=3,
+    )
+    out = pair_label_consistency(
+        pairs, items, id_col="image_id", label_col="caption"
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("int").alias("hamming"),
+        "label_match",
+    )
+
+
+def _sql_phash_caption_consistency(n_rows: int, max_distance: int = 3) -> str:
+    from oblate_spark.fixtures import phash_oracle_cte
+
+    return f"""
+    WITH t AS ({phash_oracle_cte(n_rows)}),
+    items AS (
+        SELECT image_id, phash, {_CAPTION_EXPR_SQL} AS caption FROM t
+    )
+    SELECT a.image_id AS id_a, b.image_id AS id_b,
+           bit_count(xor(a.phash, b.phash))::INT AS hamming,
+           (a.caption = b.caption) AS label_match
+    FROM items a JOIN items b ON a.image_id < b.image_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= {max_distance}
+    """
+
+
 def q_phash_bit_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-bit signature drift between two image snapshots: the current
     snapshot plants a decoder-change-style bias (bit 5 forced on for
@@ -2034,6 +2090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_near_dup_images": q_phash_near_dup_images,
         "iqr_outliers_lineitem": q_iqr_outliers_lineitem,
         "phash_bit_drift": q_phash_bit_drift,
+        "phash_caption_consistency": q_phash_caption_consistency,
         "pattern_ratio_events_props": q_pattern_ratio_events_props,
         "benford_cents_lineitem": q_benford_cents_lineitem,
         "windowed_psi_events": q_windowed_psi_events,
@@ -2916,6 +2973,7 @@ def oracle_sql() -> dict[str, str]:
         "phash_near_dup_images": _sql_phash_pairs(PHASH_NEARDUP_N),
         "iqr_outliers_lineitem": _sql_iqr_lineitem(),
         "phash_bit_drift": _sql_phash_bit_drift(PHASH_NEARDUP_N),
+        "phash_caption_consistency": _sql_phash_caption_consistency(PHASH_NEARDUP_N),
         "ngram_contamination_documents": f"""
             WITH grams AS (
                 SELECT doc_id, list_distinct(list_transform(

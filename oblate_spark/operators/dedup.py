@@ -44,6 +44,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_hamming_pairs",
+    "pair_label_consistency",
     "embedding_near_duplicates",
     "duplicate_clusters",
     "keep_canonical",
@@ -466,4 +467,39 @@ def keep_best_canonical(
             F.col(score_col).alias("canonical_score"),
             F.col("n_members").cast("bigint").alias("n_members"),
         )
+    )
+
+
+def pair_label_consistency(
+    pairs: DataFrame,
+    items: DataFrame,
+    *,
+    id_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Annotate near-duplicate pairs with whether an associated label
+    (caption, license, class) AGREES across the pair: input pairs
+    (id_a, id_b, hamming) + an items table -> (id_a, id_b, hamming,
+    label_match). For image+caption corpora this separates the two dup
+    populations that need opposite treatment: label_match=true pairs
+    are safe to collapse; label_match=false pairs are the same content
+    with DIVERGENT captions — a curation signal (pick/merge the
+    canonical caption), not a silent delete.
+
+    Scale: two equi-joins of the pair list against the (id, label)
+    projection. The pair list is the near-dup output — orders of
+    magnitude smaller than the corpus — so AQE broadcasts it and the
+    big side never shuffles; null labels compare with eqNullSafe (two
+    missing captions still "agree")."""
+    lab = items.select(F.col(id_col), F.col(label_col))
+    a = lab.select(
+        F.col(id_col).alias("id_a"), F.col(label_col).alias("__label_a")
+    )
+    b = lab.select(
+        F.col(id_col).alias("id_b"), F.col(label_col).alias("__label_b")
+    )
+    out = pairs.join(a, "id_a").join(b, "id_b")
+    match = F.col("__label_a").eqNullSafe(F.col("__label_b"))
+    return out.select(
+        "id_a", "id_b", "hamming", match.alias("label_match")
     )

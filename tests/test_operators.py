@@ -1971,3 +1971,30 @@ def test_signature_bit_drift_flags_planted_bias(spark):
     prof = {r.bit: r for r in signature_bit_profile(base, "phash").collect()}
     assert all(prof[b].n == 2100 for b in range(48))
     assert all(prof[b].frac_ones == prof[b].ones / 2100 for b in range(48))
+
+
+def test_pair_label_consistency(spark):
+    """Null labels agree with null (eqNullSafe), disagree with any
+    value; matched/divergent pairs classify correctly."""
+    from oblate_spark.operators.dedup import pair_label_consistency
+
+    pairs = spark.createDataFrame(
+        [("a", "b", 0), ("a", "c", 2), ("d", "e", 1), ("d", "f", 3)],
+        "id_a string, id_b string, hamming int",
+    )
+    items = spark.createDataFrame(
+        [("a", "cat"), ("b", "cat"), ("c", "dog"), ("d", None), ("e", None), ("f", "cat")],
+        "id string, caption string",
+    )
+    out = {
+        (r.id_a, r.id_b): r.label_match
+        for r in pair_label_consistency(
+            pairs, items, id_col="id", label_col="caption"
+        ).collect()
+    }
+    assert out == {
+        ("a", "b"): True,
+        ("a", "c"): False,
+        ("d", "e"): True,   # both captions missing: still "agree"
+        ("d", "f"): False,
+    }
