@@ -1955,6 +1955,53 @@ def _sql_phash_caption_consistency(n_rows: int, max_distance: int = 3) -> str:
     """
 
 
+def q_phash_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full image-dedup chain the north rule implies: banded phash
+    LSH pairs -> hash-min connected components -> (image_id,
+    cluster_id). The planted hot clique must come out as ONE cluster
+    labelled by its minimum member; XOR pairs come out as 2-clusters.
+    Oracle: brute-force pairs + recursive-CTE label walk in DuckDB."""
+    from oblate_spark.fixtures import PHASH_BITS, build_phash_df
+    from oblate_spark.operators.dedup import (
+        duplicate_clusters,
+        simhash_hamming_pairs,
+    )
+
+    pairs = simhash_hamming_pairs(
+        build_phash_df(spark, PHASH_NEARDUP_N),
+        id_col="image_id",
+        sig_col="phash",
+        bits=PHASH_BITS,
+        bands=4,
+        max_distance=3,
+    )
+    return duplicate_clusters(pairs).select(
+        F.col("id").alias("image_id"), "cluster_id"
+    )
+
+
+def _sql_phash_dup_clusters(n_rows: int, max_distance: int = 3) -> str:
+    from oblate_spark.fixtures import phash_oracle_cte
+
+    return f"""
+    WITH RECURSIVE t AS ({phash_oracle_cte(n_rows)}),
+    cand AS (
+        SELECT a.image_id AS id_a, b.image_id AS id_b
+        FROM t a JOIN t b ON a.image_id < b.image_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= {max_distance}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+              UNION SELECT id_b, id_a FROM cand),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    walk(node, label) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    )
+    SELECT node AS image_id, min(label) AS cluster_id
+    FROM walk GROUP BY node
+    """
+
+
 def q_phash_bit_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-bit signature drift between two image snapshots: the current
     snapshot plants a decoder-change-style bias (bit 5 forced on for
@@ -2091,6 +2138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iqr_outliers_lineitem": q_iqr_outliers_lineitem,
         "phash_bit_drift": q_phash_bit_drift,
         "phash_caption_consistency": q_phash_caption_consistency,
+        "phash_dup_clusters": q_phash_dup_clusters,
         "pattern_ratio_events_props": q_pattern_ratio_events_props,
         "benford_cents_lineitem": q_benford_cents_lineitem,
         "windowed_psi_events": q_windowed_psi_events,
@@ -2974,6 +3022,7 @@ def oracle_sql() -> dict[str, str]:
         "iqr_outliers_lineitem": _sql_iqr_lineitem(),
         "phash_bit_drift": _sql_phash_bit_drift(PHASH_NEARDUP_N),
         "phash_caption_consistency": _sql_phash_caption_consistency(PHASH_NEARDUP_N),
+        "phash_dup_clusters": _sql_phash_dup_clusters(PHASH_NEARDUP_N),
         "ngram_contamination_documents": f"""
             WITH grams AS (
                 SELECT doc_id, list_distinct(list_transform(

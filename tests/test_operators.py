@@ -1998,3 +1998,23 @@ def test_pair_label_consistency(spark):
         ("d", "e"): True,   # both captions missing: still "agree"
         ("d", "f"): False,
     }
+
+
+def test_phash_dup_clusters_hot_clique_is_one_cluster(spark):
+    """The planted hot clique (every 101st row) must resolve to a
+    single connected component labelled by its minimum member id."""
+    from oblate_spark.fixtures import PHASH_BITS, build_phash_df
+    from oblate_spark.operators.dedup import (
+        duplicate_clusters,
+        simhash_hamming_pairs,
+    )
+
+    pairs = simhash_hamming_pairs(
+        build_phash_df(spark, 1200),
+        id_col="image_id", sig_col="phash",
+        bits=PHASH_BITS, bands=4, max_distance=3,
+    )
+    got = {r.id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    hot = [f"img_{i:012d}" for i in range(0, 1200, 101)]
+    labels = {got[h] for h in hot}
+    assert labels == {hot[0]}
