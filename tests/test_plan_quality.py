@@ -666,3 +666,55 @@ def test_strip_boilerplate_broadcast_guard(spark):
     assert "BroadcastExchange" in broad, broad[:2000]
     fallback = plan_of(strip_boilerplate(lines, max_broadcast_lines=0, **kw))
     assert "BroadcastExchange" not in fallback, fallback[:2000]
+
+
+def test_signature_bit_profile_single_aggregate_no_expand(spark):
+    """48 bit sums must compile to ONE aggregate pass (partial+final
+    pair around a single Exchange) with no Expand fan-out and no
+    per-bit explode — the difference between one scan and a 48x row
+    multiplication at 100 TB."""
+    from oblate_spark.fixtures import build_phash_df
+    from oblate_spark.operators.drift import signature_bit_profile
+
+    plan = plan_of(signature_bit_profile(build_phash_df(spark, 500), "phash"))
+    assert "Expand" not in plan, plan[:2000]
+    tree = [l for l in plan.splitlines() if "+-" in l or l.startswith("Adaptive")]
+    exchanges = [l for l in tree if "Exchange" in l]
+    assert len(exchanges) == 1, plan[:2000]
+    # the only Generate allowed is the stack() unpivot ABOVE the final
+    # aggregate (1-row input); no explode below the Exchange
+    agg_seen = False
+    for line in tree:
+        if "HashAggregate" in line:
+            agg_seen = True
+        if "Generate" in line and agg_seen:
+            raise AssertionError(f"explode below the aggregate: {line}\n{plan[:2000]}")
+
+
+def test_phash_caption_consistency_no_nested_loop(spark):
+    """The pair annotation must stay equi-join shaped: never a
+    CartesianProduct or BroadcastNestedLoopJoin."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["phash_caption_consistency"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_iqr_counting_pass_is_joinless(spark):
+    """Pass 2 of the IQR profile (fence-crossing counts) must be one
+    aggregate over literal comparisons — no join, no Expand, and only
+    the aggregate's own single Exchange."""
+    from oblate_spark.operators.stats import iqr_outlier_profile
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("a"), (F.col("id") * 3 % 97).alias("b")
+    )
+    plan = plan_of(iqr_outlier_profile(df, ["a", "b"]))
+    assert "Join" not in plan, plan[:2000]
+    assert "Expand" not in plan, plan[:2000]
+    tree = [l for l in plan.splitlines() if "+-" in l or l.startswith("Adaptive")]
+    assert sum("Exchange" in l for l in tree) == 1, plan[:2000]
