@@ -1955,6 +1955,31 @@ def _sql_phash_caption_consistency(n_rows: int, max_distance: int = 3) -> str:
     """
 
 
+def q_duplicate_phash_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's phash uniqueness check on the closed-form image
+    table: the hot clique's members split into exactly 3 shared phash
+    values (HOT xor bit i%3 over multiples of 101), plus any XOR-pair
+    whose two flipped bits cancel. COUNT is algebraic, so the default
+    unsalted groupBy is the right plan (map-side combine bounds the hot
+    key) — the salted two-phase stays for non-combinable aggregates."""
+    from oblate_spark.fixtures import build_phash_df
+    from oblate_spark.operators.stats import duplicate_keys
+
+    return duplicate_keys(
+        build_phash_df(spark, PHASH_NEARDUP_N), "phash"
+    ).select("phash", F.col("dup_count").cast("bigint").alias("dup_count"))
+
+
+def _sql_duplicate_phash(n_rows: int) -> str:
+    from oblate_spark.fixtures import phash_oracle_cte
+
+    return f"""
+    WITH t AS ({phash_oracle_cte(n_rows)})
+    SELECT phash, count(*)::BIGINT AS dup_count
+    FROM t GROUP BY phash HAVING count(*) > 1
+    """
+
+
 def q_phash_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full image-dedup chain the north rule implies: banded phash
     LSH pairs -> hash-min connected components -> (image_id,
@@ -2139,6 +2164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_bit_drift": q_phash_bit_drift,
         "phash_caption_consistency": q_phash_caption_consistency,
         "phash_dup_clusters": q_phash_dup_clusters,
+        "duplicate_phash_images": q_duplicate_phash_images,
         "pattern_ratio_events_props": q_pattern_ratio_events_props,
         "benford_cents_lineitem": q_benford_cents_lineitem,
         "windowed_psi_events": q_windowed_psi_events,
@@ -3023,6 +3049,7 @@ def oracle_sql() -> dict[str, str]:
         "phash_bit_drift": _sql_phash_bit_drift(PHASH_NEARDUP_N),
         "phash_caption_consistency": _sql_phash_caption_consistency(PHASH_NEARDUP_N),
         "phash_dup_clusters": _sql_phash_dup_clusters(PHASH_NEARDUP_N),
+        "duplicate_phash_images": _sql_duplicate_phash(PHASH_NEARDUP_N),
         "ngram_contamination_documents": f"""
             WITH grams AS (
                 SELECT doc_id, list_distinct(list_transform(
