@@ -175,3 +175,26 @@ def test_codec_byte_corruption_fuzz(w, h, fmt, seed, pos_seed, newbyte):
         assert out.ndim == 3 and out.shape[2] == 3
     except codecs.ImageDecodeError:
         pass
+
+
+@settings(deadline=None, max_examples=20, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(st.integers(min_value=-10**6, max_value=10**6), min_size=4, max_size=200),
+)
+def test_iqr_profile_matches_numpy(spark, vals):
+    """iqr_outlier_profile's exact-percentile quartiles and fence
+    counts agree with numpy's linear-interpolation percentile for any
+    integer sample (the dyadic-exactness contract the oracle relies
+    on)."""
+    import numpy as np
+
+    from oblate_spark.operators.stats import iqr_outlier_profile
+
+    df = spark.createDataFrame([(int(v),) for v in vals], "x bigint")
+    row = iqr_outlier_profile(df, ["x"]).collect()[0]
+    q1, q3 = np.percentile(np.array(vals, dtype=np.int64), [25, 75], method="linear")
+    assert row.q1 == q1 and row.q3 == q3
+    lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+    arr = np.array(vals, dtype=np.float64)
+    assert row.n_below == int((arr < lo).sum())
+    assert row.n_above == int((arr > hi).sum())
