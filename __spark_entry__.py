@@ -1866,6 +1866,41 @@ def _sql_iqr_lineitem(k: str = "1.5") -> str:
     return " UNION ALL ".join(parts)
 
 
+def q_mad_outliers_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outliers (modified-z-score family, dyadic k=5
+    MADs) over lineitem numerics on integer cents — the heavy-tail
+    companion to the Tukey IQR profile; exact-percentile medians make
+    the DuckDB oracle bit-identical."""
+    from oblate_spark.operators.stats import mad_outlier_profile
+
+    li = _read(spark, sf_dir, "lineitem")
+    cents = li.select(
+        *[F.round(F.col(c) * 100, 0).cast("bigint").alias(c) for c in IQR_COLS]
+    )
+    return mad_outlier_profile(cents, IQR_COLS)
+
+
+def _sql_mad_lineitem(k: str = "5.0") -> str:
+    parts = []
+    for c in IQR_COLS:
+        src = f"(SELECT round({c} * 100)::BIGINT AS v FROM lineitem)"
+        parts.append(f"""
+        SELECT '{c}' AS column, q.med AS median, q.mad AS mad,
+               q.med - {k}*q.mad AS lo_fence, q.med + {k}*q.mad AS hi_fence,
+               count(CASE WHEN s.v < q.med - {k}*q.mad THEN 1 END)::BIGINT AS n_below,
+               count(CASE WHEN s.v > q.med + {k}*q.mad THEN 1 END)::BIGINT AS n_above
+        FROM {src} s
+        CROSS JOIN (
+            SELECT m.med AS med, quantile_cont(abs(t.v - m.med), 0.5) AS mad
+            FROM {src} t
+            CROSS JOIN (SELECT quantile_cont(v, 0.5) AS med FROM {src}) m
+            GROUP BY m.med
+        ) q
+        GROUP BY q.med, q.mad
+        """)
+    return " UNION ALL ".join(parts)
+
+
 PHASH_NEARDUP_N = 4000
 
 
@@ -2161,6 +2196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_validation": q_embedding_validation,
         "phash_near_dup_images": q_phash_near_dup_images,
         "iqr_outliers_lineitem": q_iqr_outliers_lineitem,
+        "mad_outliers_lineitem": q_mad_outliers_lineitem,
         "phash_bit_drift": q_phash_bit_drift,
         "phash_caption_consistency": q_phash_caption_consistency,
         "phash_dup_clusters": q_phash_dup_clusters,
@@ -3046,6 +3082,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup_documents": _sql_simhash_pairs(),
         "phash_near_dup_images": _sql_phash_pairs(PHASH_NEARDUP_N),
         "iqr_outliers_lineitem": _sql_iqr_lineitem(),
+        "mad_outliers_lineitem": _sql_mad_lineitem(),
         "phash_bit_drift": _sql_phash_bit_drift(PHASH_NEARDUP_N),
         "phash_caption_consistency": _sql_phash_caption_consistency(PHASH_NEARDUP_N),
         "phash_dup_clusters": _sql_phash_dup_clusters(PHASH_NEARDUP_N),

@@ -48,6 +48,7 @@ __all__ = [
     "TYPE_PATTERNS",
     "type_inference_profile",
     "iqr_outlier_profile",
+    "mad_outlier_profile",
 ]
 
 
@@ -1021,6 +1022,89 @@ def iqr_outlier_profile(
         q3c[key].cast("double").alias("q3"),
         loc[key].cast("double").alias("lo_fence"),
         hic[key].cast("double").alias("hi_fence"),
+        F.col("n_below").cast("bigint").alias("n_below"),
+        F.col("n_above").cast("bigint").alias("n_above"),
+    )
+
+
+def mad_outlier_profile(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    k: float = 5.0,
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Median/MAD robust outlier profile per numeric column: (column,
+    median, mad, lo_fence, hi_fence, n_below, n_above) with fences at
+    median ± k·MAD — the modified-z-score family (k=5 MADs ≈ the
+    classic 3.5 threshold on 0.6745·dev/MAD, kept DYADIC so the exact
+    path stays oracle-reproducible where the 0.6745/1.4826 constants
+    never could).
+
+    Three passes, each ONE whole-table aggregate over all columns
+    (medians → MADs over |x - median| with literal medians → fence
+    counts with literal fences); driver traffic is 2 scalars per column
+    per pass. ``exact=False`` swaps both percentiles for the mergeable
+    ``percentile_approx`` sketch for web-scale high-cardinality inputs.
+
+    Exactness contract: integer-valued inputs make the median a
+    multiple of 0.5, |x - median| a multiple of 0.5, the MAD a multiple
+    of 0.25, and k·MAD exact for dyadic k — every comparison lands on
+    the identical double in any engine."""
+
+    def _median(col):
+        if exact:
+            return F.percentile(col, 0.5)
+        return F.percentile_approx(col, 0.5, accuracy)
+
+    med_row = df.agg(
+        *[_median(F.col(c)).alias(c) for c in cols]
+    ).first()  # bounded collect: 1 scalar per column
+    meds = {c: med_row[c] for c in cols}
+
+    mad_aggs = []
+    for c in cols:
+        if meds[c] is None:
+            mad_aggs.append(F.lit(None).cast("double").alias(c))
+        else:
+            mad_aggs.append(
+                _median(F.abs(F.col(c) - F.lit(meds[c]))).alias(c)
+            )
+    mad_row = df.agg(*mad_aggs).first()  # bounded collect: 1 scalar per column
+
+    aggs = []
+    fences: dict[str, tuple] = {}
+    for c in cols:
+        med, mad = meds[c], mad_row[c]
+        if med is None or mad is None:
+            lo = hi = None
+        else:
+            lo, hi = med - k * mad, med + k * mad
+        fences[c] = (med, mad, lo, hi)
+        below = F.lit(False) if lo is None else F.col(c) < F.lit(lo)
+        above = F.lit(False) if hi is None else F.col(c) > F.lit(hi)
+        aggs.append(F.sum(F.when(below, 1).otherwise(0)).alias(f"{c}__below"))
+        aggs.append(F.sum(F.when(above, 1).otherwise(0)).alias(f"{c}__above"))
+    wide = df.agg(*aggs)
+
+    tuples = ", ".join(f"'{c}', `{c}__below`, `{c}__above`" for c in cols)
+    stacked = wide.selectExpr(
+        f"stack({len(cols)}, {tuples}) as (column, n_below, n_above)"
+    )
+    key = F.col("column")
+
+    def _map(idx):
+        return F.create_map(
+            *[x for c in cols for x in (F.lit(c), F.lit(fences[c][idx]))]
+        )
+
+    return stacked.select(
+        "column",
+        _map(0)[key].cast("double").alias("median"),
+        _map(1)[key].cast("double").alias("mad"),
+        _map(2)[key].cast("double").alias("lo_fence"),
+        _map(3)[key].cast("double").alias("hi_fence"),
         F.col("n_below").cast("bigint").alias("n_below"),
         F.col("n_above").cast("bigint").alias("n_above"),
     )

@@ -2018,3 +2018,27 @@ def test_phash_dup_clusters_hot_clique_is_one_cluster(spark):
     hot = [f"img_{i:012d}" for i in range(0, 1200, 101)]
     labels = {got[h] for h in hot}
     assert labels == {hot[0]}
+
+
+def test_mad_outlier_profile(spark):
+    """Median/MAD and fences hand-verified against numpy; all-null
+    column degrades to null fences and zero counts."""
+    import numpy as np
+
+    from oblate_spark.operators.stats import mad_outlier_profile
+
+    vals = list(range(101)) + [10_000, -10_000]
+    df = spark.createDataFrame([(v, None) for v in vals], "x bigint, y bigint")
+    out = {r.column: r for r in mad_outlier_profile(df, ["x", "y"]).collect()}
+
+    arr = np.array(sorted(vals), dtype=np.float64)
+    med = float(np.percentile(arr, 50, method="linear"))
+    mad = float(np.percentile(np.abs(arr - med), 50, method="linear"))
+    x = out["x"]
+    assert x.median == med and x.mad == mad
+    assert x.lo_fence == med - 5.0 * mad and x.hi_fence == med + 5.0 * mad
+    assert x.n_below == 1 and x.n_above == 1
+
+    y = out["y"]
+    assert y.median is None and y.mad is None
+    assert y.n_below == 0 and y.n_above == 0
