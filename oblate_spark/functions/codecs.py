@@ -151,8 +151,32 @@ def _encode_png(pixels: np.ndarray) -> bytes:
 
 
 def _unfilter_png(scan: np.ndarray, h: int, w: int) -> np.ndarray:
-    """Undo PNG per-row filters (types 0-4) for 3-byte RGB pixels."""
+    """Undo PNG per-row filters (types 0-4) for 3-byte RGB pixels.
+
+    Fast paths (bit-exact — the filters are integer arithmetic mod 256,
+    so any evaluation strategy yields identical bytes):
+
+    * all rows type 0 (what our encoder emits): a pure reshape, no
+      arithmetic at all;
+    * rows only types 0/2 (None/Up): type-2 runs are per-column prefix
+      sums mod 256, evaluated with one uint8 ``add.accumulate`` per run.
+
+    Types 1/3/4 (Sub/Average/Paeth) carry a left-neighbor data
+    dependence and fall back to the scalar loop."""
     stride = w * 3
+    ftypes = scan[:, 0]
+    if not ftypes.any():  # all type 0: no arithmetic
+        return scan[:, 1:].reshape(h, w, 3).copy()
+    if np.isin(ftypes, (0, 2)).all():  # None/Up only: prefix sums mod 256
+        out = scan[:, 1:].copy()
+        starts = np.flatnonzero(ftypes == 0)
+        if starts.size == 0 or starts[0] != 0:
+            starts = np.concatenate(([0], starts))
+        bounds = np.concatenate((starts, [h]))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s > 1:
+                np.add.accumulate(out[s:e], axis=0, dtype=np.uint8, out=out[s:e])
+        return out.reshape(h, w, 3)
     out = np.zeros((h, stride), dtype=np.uint8)
     bpp = 3
     for y in range(h):
@@ -273,6 +297,7 @@ def _dct_matrix(n: int) -> np.ndarray:
 
 
 _DCT32 = _dct_matrix(32)
+_GRAY601 = np.array([0.299, 0.587, 0.114])
 
 
 def _resize_area(gray: np.ndarray, size: int = 32, out_h: int | None = None) -> np.ndarray:
@@ -290,12 +315,8 @@ def _resize_area(gray: np.ndarray, size: int = 32, out_h: int | None = None) -> 
     x0, x1 = xs[:-1], np.maximum(xs[1:], xs[:-1] + 1)
     csum = np.zeros((h + 1, w + 1), dtype=np.float64)
     np.cumsum(np.cumsum(gray, axis=0, dtype=np.float64), axis=1, out=csum[1:, 1:])
-    box = (
-        csum[np.ix_(y1, x1)]
-        - csum[np.ix_(y0, x1)]
-        - csum[np.ix_(y1, x0)]
-        + csum[np.ix_(y0, x0)]
-    )
+    y0c, y1c = y0[:, None], y1[:, None]  # same cells as np.ix_, less overhead
+    box = csum[y1c, x1] - csum[y0c, x1] - csum[y1c, x0] + csum[y0c, x0]
     area = (y1 - y0)[:, None] * (x1 - x0)[None, :]
     return box / area
 
@@ -304,17 +325,21 @@ def phash64(pixels: np.ndarray) -> int:
     """Classic 64-bit DCT pHash, signed-int64 representation (matches a
     BIGINT ``phash`` column). Deterministic pure-numpy pipeline:
     grayscale (ITU-R 601) -> 32x32 area resize -> DCT-II -> top-left 8x8
-    sans DC -> median threshold."""
-    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    sans DC -> median threshold.
+
+    Bit-exact micro-optimizations vs the original formulation (matmul
+    promotion replaces the explicit astype copy; the median of 63
+    elements IS element 31 of the partition, which is precisely what
+    ``np.median`` computes for odd n minus its dispatch overhead; the
+    bit pack is ``packbits`` little-endian instead of a Python loop —
+    all produce the identical integer)."""
+    gray = pixels @ _GRAY601  # uint8 @ float64 promotes to float64
     small = _resize_area(gray, 32)
     d = _DCT32 @ small @ _DCT32.T
-    block = d[:8, :8].flatten()[1:]  # drop DC
-    med = np.median(block)
+    block = d[:8, :8].ravel()[1:]  # drop DC
+    med = np.partition(block, 31)[31]  # median of 63 = rank-31 element
     bits = block > med
-    val = 0
-    for i, b in enumerate(bits):
-        if b:
-            val |= 1 << i
+    val = int.from_bytes(np.packbits(bits, bitorder="little").tobytes(), "little")
     # wrap into signed 64-bit so it round-trips through a BIGINT column
     if val >= 1 << 63:
         val -= 1 << 64

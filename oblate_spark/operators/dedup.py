@@ -178,18 +178,105 @@ def ngram_jaccard_pairs(
     """
     df = ensure_fanout_parallelism(df)  # single-file inputs -> parallel join sides
     toks = df.select(F.col(id_col), _token_set(F.col(text_col)).alias("toks"))
-    a = toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
-    b = toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
     if pairs is not None:
+        a = toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
+        b = toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
         joined = pairs.join(a, "id_a").join(b, "id_b")
-    else:
-        joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
-    union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
-    jac = inter.cast("double") / union.cast("double")
-    return joined.select("id_a", "id_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= threshold
-    )
+        inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+        union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
+        jac = inter.cast("double") / union.cast("double")
+        return joined.select("id_a", "id_b", jac.alias("jaccard")).filter(
+            F.col("jaccard") >= threshold
+        )
+    return _jaccard_all_pairs_kernel(toks, id_col=id_col, threshold=threshold)
+
+
+def _jaccard_all_pairs_kernel(
+    toks: DataFrame, *, id_col: str, threshold: float
+) -> DataFrame:
+    """Exhaustive-twin execution of :func:`ngram_jaccard_pairs` (round 6):
+    the old crossJoin evaluated ``array_intersect``/``array_union`` on
+    every one of the O(n²) pairs row-at-a-time in the JVM — 12 s at
+    sf0.1 for 5000 docs. Token SETS still come from the identical JVM
+    expression (``_token_set``: lower/trim/``\\s+``-split/distinct —
+    tokenization semantics untouched); only the pairwise counting moves
+    into an Arrow kernel: sets become corpus-vocabulary bitsets, the
+    intersection count is a popcount over the bitwise AND, and
+    ``|A∪B| = |A|+|B|-|A∩B|``. Everything is exact integer arithmetic
+    followed by the same single IEEE int/int division the Column
+    expression performs, so the doubles are bit-identical. Pairs where
+    either token array is NULL never survive the JVM expression (null
+    poisons ``array_intersect``) and are skipped here.
+
+    The broadcast side (id, token-set bitsets) is the exhaustive twin's
+    documented bounded materialization; the scale path is ``pairs=``."""
+    import numpy as np
+    import pandas as pd
+
+    id_dtype = toks.schema[id_col].dataType.simpleString()
+    spark = toks.sparkSession
+    rows = [(r[0], r[1]) for r in toks.collect() if r[1] is not None]
+    vocab: dict[str, int] = {}
+    for _, ts in rows:
+        for t in ts:
+            if t not in vocab:
+                vocab[t] = len(vocab)
+    width = max(1, -(-len(vocab) // 64))  # uint64 words per doc
+    ids_b = np.array([i for i, _ in rows])
+    bits_b = np.zeros((len(rows), width * 8), dtype=np.uint8)
+    sizes_b = np.zeros(len(rows), dtype=np.int64)
+
+    for k, (_, ts) in enumerate(rows):
+        row = bits_b[k]
+        for t in ts:
+            j = vocab[t]
+            row[j >> 3] |= 1 << (j & 7)
+        sizes_b[k] = len(ts)  # _token_set output is already distinct
+    bc = spark.sparkContext.broadcast((vocab, ids_b, bits_b, sizes_b))
+    popcnt = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+    thr = float(threshold)
+
+    def kernel(iterator):
+        vocab_b, idsb, bitsb, sizesb = bc.value
+        for pdf in iterator:
+            out_a, out_b, out_j = [], [], []
+            tok_arrs = pdf["toks"]
+            ids_in = pdf[id_col].to_numpy()
+            keep_pos = [
+                p for p in range(len(pdf)) if tok_arrs.iloc[p] is not None
+            ]
+            if keep_pos and len(idsb):
+                bits_a = np.zeros((len(keep_pos), bitsb.shape[1]), dtype=np.uint8)
+                sizes_a = np.zeros(len(keep_pos), dtype=np.int64)
+                for k, p in enumerate(keep_pos):
+                    ts = tok_arrs.iloc[p]
+                    row = bits_a[k]
+                    for t in ts:
+                        j = vocab_b[t]
+                        row[j >> 3] |= 1 << (j & 7)
+                    sizes_a[k] = len(ts)
+                ids_a = ids_in[keep_pos]
+                step = max(1, 60_000_000 // max(bitsb.size, 1))
+                for s in range(0, len(ids_a), step):
+                    e = s + step
+                    inter = (
+                        popcnt[bits_a[s:e, None, :] & bitsb[None, :, :]]
+                        .sum(axis=2, dtype=np.int64)
+                    )
+                    union = sizes_a[s:e, None] + sizesb[None, :] - inter
+                    jac = inter.astype(np.float64) / union.astype(np.float64)
+                    keep = (ids_a[s:e, None] < idsb[None, :]) & (jac >= thr)
+                    ai, bi = np.nonzero(keep)
+                    if len(ai):
+                        out_a.extend(ids_a[s + ai].tolist())
+                        out_b.extend(idsb[bi].tolist())
+                        out_j.extend(jac[ai, bi].tolist())
+            yield pd.DataFrame(
+                {"id_a": out_a, "id_b": out_b, "jaccard": out_j}
+            )
+
+    schema = f"id_a {id_dtype}, id_b {id_dtype}, jaccard double"
+    return toks.mapInPandas(kernel, schema)
 
 
 def simhash(df: DataFrame, *, id_col: str, text_col: str, bits: int = 48) -> DataFrame:
@@ -303,22 +390,160 @@ def embedding_near_duplicates(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs >= threshold.
 
-    Dot products via zip_with + aggregate (JVM-side). Exhaustive
-    self-join for small inputs; at scale pass LSH/IVF candidate
-    ``pairs`` (see operators.similarity) to make the join linear.
-    """
-    from .similarity import cosine_expr
+    Semantics (unchanged since round 2, oracle-pinned): cosine =
+    fold-dot(a,b) / (fold-norm(a) * fold-norm(b)) where every fold is a
+    sequential IEEE-double left fold over the array — pairs whose
+    cosine is NULL/NaN (null arrays, null elements, length mismatch,
+    zero norm) never appear.
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    Execution (round 6): the exhaustive path used to be a crossJoin with
+    per-pair interpreted ``zip_with``/``aggregate`` lambdas (higher-order
+    functions do not participate in whole-stage codegen) — measured 57 s
+    at sf0.1 for 4000 vectors. It is now an Arrow ``mapInPandas`` kernel:
+    one side streams through tasks, the other side is a spark broadcast
+    of the (small, by the exhaustive-twin contract) vector matrix, and
+    the O(m*n*d) arithmetic runs as d vectorized numpy accumulations —
+    the SAME left-fold rounding order as the JVM expression, so results
+    are bit-identical (verified against the DuckDB oracle). At scale the
+    production path is unchanged: pass LSH/IVF candidate ``pairs`` and
+    the join stays linear; that path now hoists the per-vector norms out
+    of the per-pair expression (computed once per row instead of once
+    per candidate pair).
+    """
+    from .similarity import dot_expr, norm_expr
+
     if pairs is not None:
+        a = df.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("va"),
+            norm_expr(F.col(vec_col)).alias("__na"),
+        )
+        b = df.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vb"),
+            norm_expr(F.col(vec_col)).alias("__nb"),
+        )
         joined = pairs.join(a, "id_a").join(b, "id_b")
-    else:
-        joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    cos = cosine_expr(F.col("va"), F.col("vb"))
-    return joined.select("id_a", "id_b", cos.alias("cosine")).filter(
-        F.col("cosine") >= threshold
+        cos = dot_expr(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))
+        return joined.select("id_a", "id_b", cos.alias("cosine")).filter(
+            F.col("cosine") >= threshold
+        )
+    return _embedding_all_pairs_kernel(
+        df, id_col=id_col, vec_col=vec_col, threshold=threshold
     )
+
+
+def _fold_gram(A, B):
+    """Pairwise left-fold dot products of float64 matrices A (m,d) and
+    B (n,d): acc_{ij} = ((0 + a_i0*b_j0) + a_i1*b_j1) + ... — each
+    addition rounded before the next, exactly like Spark's
+    ``aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,v) -> acc+v)``.
+    NOT a BLAS gemm (whose blocked/pairwise accumulation rounds
+    differently); d vectorized outer-product accumulations keep the
+    fold order while vectorizing over the m*n pairs."""
+    import numpy as np
+
+    m, n = A.shape[0], B.shape[0]
+    acc = np.zeros((m, n), dtype=np.float64)
+    tmp = np.empty((m, n), dtype=np.float64)
+    for i in range(A.shape[1]):
+        np.multiply(A[:, i : i + 1], B[:, i], out=tmp)
+        acc += tmp
+    return acc
+
+
+def _fold_norms(A):
+    """Left-fold L2 norms per row of float64 A (m,d): sqrt(((0 + v0*v0)
+    + v1*v1) + ...) — the rounding order of Spark's ``norm_expr``."""
+    import numpy as np
+
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for i in range(A.shape[1]):
+        acc += A[:, i] * A[:, i]
+    return np.sqrt(acc)
+
+
+def _embedding_all_pairs_kernel(
+    df: DataFrame, *, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """Exhaustive-twin execution of :func:`embedding_near_duplicates`:
+    broadcast one side as a numpy matrix, stream the other through an
+    Arrow kernel, emit (id_a, id_b, cosine) for id_a < id_b and
+    cosine >= threshold.
+
+    Exactness: vectors are grouped by array length; a pair can only
+    produce a non-null cosine when both arrays have the SAME length and
+    no null elements (``zip_with`` pads the shorter side with nulls and
+    any null poisons the fold), so cross-length / null-bearing vectors
+    are provably absent from the JVM result and are skipped here too.
+    All arithmetic is the fold-order numpy of :func:`_fold_gram` /
+    :func:`_fold_norms` — bit-identical to the Column expression.
+
+    The one bounded driver materialization (the broadcast side) is the
+    exhaustive twin's contract: the operator is documented
+    small-input/oracle-only; the scale path is ``pairs=``."""
+    import numpy as np
+    import pandas as pd
+
+    id_dtype = df.schema[id_col].dataType.simpleString()
+    spark = df.sparkSession
+    rows = df.select(F.col(id_col), F.col(vec_col)).collect()
+    by_len: dict[int, tuple] = {}
+    tmp: dict[int, list] = {}
+    for r in rows:
+        vec = r[1]
+        if vec is None or any(v is None for v in vec):
+            continue  # null array / null element -> null cosine, never emitted
+        tmp.setdefault(len(vec), []).append((r[0], vec))
+    for ln, items in tmp.items():
+        ids = np.array([i for i, _ in items])
+        mat = np.array([v for _, v in items], dtype=np.float64)
+        by_len[ln] = (ids, mat, _fold_norms(mat))
+    bc = spark.sparkContext.broadcast(by_len)
+    thr = float(threshold)
+
+    def kernel(iterator):
+        groups = bc.value
+        for pdf in iterator:
+            out_a, out_b, out_c = [], [], []
+            vecs = pdf[vec_col]
+            ids_in = pdf[id_col]
+            # bucket this batch's rows by vector length, then one
+            # matrix fold per (batch-bucket x broadcast-bucket) pair
+            buckets: dict[int, list] = {}
+            for pos in range(len(pdf)):
+                vec = vecs.iloc[pos]
+                if vec is None or any(v is None for v in vec):
+                    continue
+                buckets.setdefault(len(vec), []).append(pos)
+            for ln, positions in buckets.items():
+                if ln not in groups:
+                    continue
+                ids_b, mat_b, norms_b = groups[ln]
+                ids_a = ids_in.iloc[positions].to_numpy()
+                mat_a = np.array(
+                    [vecs.iloc[p] for p in positions], dtype=np.float64
+                )
+                norms_a = _fold_norms(mat_a)
+                step = max(1, 8_000_000 // max(len(ids_b), 1))
+                for s in range(0, len(ids_a), step):
+                    e = s + step
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = _fold_gram(mat_a[s:e], mat_b) / (
+                            norms_a[s:e, None] * norms_b[None, :]
+                        )
+                        keep = (ids_a[s:e, None] < ids_b[None, :]) & (cos >= thr)
+                    ai, bi = np.nonzero(keep)
+                    if len(ai):
+                        out_a.extend(ids_a[s + ai].tolist())
+                        out_b.extend(ids_b[bi].tolist())
+                        out_c.extend(cos[ai, bi].tolist())
+            yield pd.DataFrame(
+                {"id_a": out_a, "id_b": out_b, "cosine": out_c}
+            )
+
+    schema = f"id_a {id_dtype}, id_b {id_dtype}, cosine double"
+    return df.select(id_col, vec_col).mapInPandas(kernel, schema)
 
 
 def duplicate_clusters(
