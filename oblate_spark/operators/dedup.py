@@ -147,6 +147,12 @@ def lsh_candidate_pairs(
     at least one LSH band."""
     sigs = minhash_signatures(df, id_col=id_col, text_col=text_col, k=k, num_hashes=num_hashes)
     bands = lsh_band_signatures(sigs, id_col=id_col, rows_per_band=rows_per_band)
+    # both self-join sides reference the band table; without a
+    # materialization the whole shingle->minhash->band aggregation runs
+    # TWICE (the sides differ by alias, so ReuseExchange never fires —
+    # plan audit round 6). The band table is corpus_rows x n_bands tiny
+    # rows, so the localCheckpoint is cheap at any scale.
+    bands = bands.localCheckpoint(eager=True)
     a = bands.select(F.col(id_col).alias("id_a"), "band", "band_sig")
     b = bands.select(F.col(id_col).alias("id_b"), "band", "band_sig")
     return (
@@ -364,6 +370,10 @@ def simhash_hamming_pairs(
     banded = signatures.select(
         F.col(id_col), F.col(sig_col), F.explode(slices).alias("s")
     ).select(id_col, sig_col, "s.band", "s.slice_val")
+    # same double-computation hazard as lsh_candidate_pairs: the
+    # signature aggregation feeding both self-join sides would run twice
+    # without this (rows = corpus x bands, so materialization is cheap)
+    banded = banded.localCheckpoint(eager=True)
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col(sig_col).alias("sig_a"), "band", "slice_val"
     )
@@ -598,6 +608,11 @@ def duplicate_clusters(
             .groupBy(edges["dst"].alias("id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # the old label is already on the join — carry a per-row change
+        # flag instead of re-joining old vs new labels afterwards: one
+        # localCheckpoint job per round instead of two (round 6; the
+        # convergence test is then a metadata-cheap filter+limit over
+        # the materialized rows)
         new_labels = (
             labels.alias("l")
             .join(nbr_min.alias("n"), "id", "left")
@@ -607,17 +622,15 @@ def duplicate_clusters(
                     F.col("l.cluster_id"),
                     F.coalesce(F.col("n.nbr_min"), F.col("l.cluster_id")),
                 ).alias("cluster_id"),
+                (
+                    F.coalesce(F.col("n.nbr_min"), F.col("l.cluster_id"))
+                    < F.col("l.cluster_id")
+                ).alias("__changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("a")
-            .join(labels.alias("b"), "id")
-            .filter(F.col("a.cluster_id") != F.col("b.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        labels = new_labels.drop("__changed")
         if changed == 0:
             converged = True
             break

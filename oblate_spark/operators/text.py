@@ -390,33 +390,39 @@ def ngram_contamination(
     single IEEE division — oracle-exact.
     """
     bench_text_col = text_col if bench_text_col is None else bench_text_col
+    # the doc-side gram array is computed ONCE and its size carried
+    # through the explode as a grouping column — the old shape built the
+    # (tokenize + n-gram transform + array_distinct) tree twice, once
+    # for the exploded join side and once for the totals side, and
+    # joined them back at the end (round 6 plan audit). explode_outer
+    # keeps gram-less docs (n_grams = 0) without the extra join.
     doc_grams = docs.select(
         F.col(id_col),
-        F.explode(
-            F.array_distinct(ngrams_expr(tokens_expr(F.col(text_col)), n))
-        ).alias("gram"),
-    ).select(F.col(id_col), F.md5(F.col("gram")).alias("gh"))
+        F.array_distinct(ngrams_expr(tokens_expr(F.col(text_col)), n)).alias(
+            "__grams"
+        ),
+    ).select(
+        F.col(id_col),
+        F.size("__grams").alias("n_grams"),
+        F.explode_outer("__grams").alias("gram"),
+    ).select(
+        F.col(id_col), F.col("n_grams"), F.md5(F.col("gram")).alias("gh")
+    )
     bench_grams = (
         benchmark.select(
             F.explode(
                 F.array_distinct(ngrams_expr(tokens_expr(F.col(bench_text_col)), n))
             ).alias("gram")
         )
-        .select(F.md5(F.col("gram")).alias("gh"))
+        .select(F.md5(F.col("gram")).alias("gh"), F.lit(True).alias("__hit"))
         .distinct()
     )
-    totals = docs.select(
-        F.col(id_col),
-        F.size(
-            F.array_distinct(ngrams_expr(tokens_expr(F.col(text_col)), n))
-        ).alias("n_grams"),
+    per_doc = (
+        doc_grams.join(bench_grams, "gh", "left")
+        .groupBy(id_col, "n_grams")
+        .agg(F.sum(F.col("__hit").cast("bigint")).alias("n_contaminated"))
     )
-    hits = (
-        doc_grams.join(bench_grams, "gh")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
-    )
-    return totals.join(hits, id_col, "left").select(
+    return per_doc.select(
         F.col(id_col),
         F.col("n_grams"),
         F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("bigint").alias(
@@ -452,6 +458,8 @@ def dup_shingle_fraction(
     ``tfidf_top_terms``'s guarded broadcast). The ratio is one exact
     BIGINT/BIGINT double division, so a SQL oracle is bit-identical.
     """
+    from pyspark.sql import Window
+
     pairs = (
         df.select(
             F.col(id_col),
@@ -461,9 +469,14 @@ def dup_shingle_fraction(
         )
         .select(F.col(id_col), F.md5(F.col("gram")).alias("gh"))
     )
-    dfreq = pairs.groupBy("gh").agg(F.count(F.lit(1)).alias("df_docs"))
+    # document frequency as a count() window over the SAME shuffle the
+    # rows need anyway, instead of a separate groupBy(gh) aggregate
+    # joined back: the shingle explode + md5 used to be computed twice
+    # (once per join side) and the gh key shuffled twice (round 6 plan
+    # audit). Identical integer counts, one Exchange fewer, one pass.
+    df_docs = F.count(F.lit(1)).over(Window.partitionBy("gh"))
     per_doc = (
-        pairs.join(dfreq, "gh")
+        pairs.withColumn("df_docs", df_docs)
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
