@@ -197,26 +197,41 @@ def replay_dedup_batched(
         ).cast("int"),
     )
 
-    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        key = pdf["key"].iloc[0]
-        state = None
+    from .replay_map import _group_starts, grouped_map_sorted
+
+    def fn_groups(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # rows sorted by (key, us); each key complete in this chunk
+        keys_np = pdf["key"].to_numpy()
+        us_np = pdf["us"].to_numpy()
+        ids_np = pdf["event_id"].to_numpy()
+        batch_np = pdf["batch"].to_numpy()
+        out_key: list = []
         out: list = []
-        for b in sorted(pdf["batch"].unique()):
-            rows = [
-                (int(u), int(i))
-                for u, i in zip(
-                    pdf.loc[pdf["batch"] == b, "us"],
-                    pdf.loc[pdf["batch"] == b, "event_id"],
-                )
-            ]
-            emitted, state = fold_first_seen(state, rows, retention_us)
-            out.extend(emitted)
+        starts = _group_starts(pdf["key"])
+        for g in range(len(starts) - 1):
+            i0, i1 = starts[g], starts[g + 1]
+            state = None
+            gus, gid, gb = us_np[i0:i1], ids_np[i0:i1], batch_np[i0:i1]
+            for b in sorted(set(gb.tolist())):
+                sel = gb == b
+                rows = [
+                    (int(u), int(i)) for u, i in zip(gus[sel], gid[sel])
+                ]
+                emitted, state = fold_first_seen(state, rows, retention_us)
+                out.extend(emitted)
+                out_key.extend([keys_np[i0]] * len(emitted))
         return pd.DataFrame(
             {
-                "key": [key] * len(out),
+                "key": pd.Series(out_key, dtype=pdf["key"].dtype),
                 "event_id": [e[1] for e in out],
                 "first_us": [e[0] for e in out],
             }
         )
 
-    return ev.groupBy("key").applyInPandas(fn, schema=out_schema)
+    return grouped_map_sorted(
+        ev,
+        key_col="key",
+        sort_cols=["us", "event_id"],
+        fn_groups=fn_groups,
+        out_schema=out_schema,
+    )

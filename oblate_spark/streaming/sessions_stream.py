@@ -250,20 +250,34 @@ def replay_sessions_batched(
         ).cast("int"),
     )
 
-    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values("sec")
-        uid = pdf["user_id"].iloc[0]
-        state = None
+    from .replay_map import _group_starts, grouped_map_sorted
+
+    def fn_groups(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # rows arrive sorted by (user_id, sec) with every user complete
+        # in this chunk; batch is monotone in sec, so per-batch slices
+        # stay time-ordered exactly as the old per-group sort produced
+        users = pdf["user_id"].to_numpy()
+        secs = pdf["sec"].to_numpy()
+        batches = pdf["batch"].to_numpy()
+        out_uid: list = []
         out: list = []
-        for b in range(n_batches):
-            ts = pdf.loc[pdf["batch"] == b, "sec"].tolist()
-            closed, state = fold_sessions(state, ts, gap)
-            out.extend((s, e, c, "gap") for s, e, c in closed)
-        if state is not None:
-            out.append((*state, "flush"))
+        start_idx = _group_starts(pdf["user_id"])
+        for g in range(len(start_idx) - 1):
+            i0, i1 = start_idx[g], start_idx[g + 1]
+            state = None
+            rows: list = []
+            gsec, gbatch = secs[i0:i1], batches[i0:i1]
+            for b in range(n_batches):
+                ts = gsec[gbatch == b].tolist()
+                closed, state = fold_sessions(state, ts, gap)
+                rows.extend((s, e, c, "gap") for s, e, c in closed)
+            if state is not None:
+                rows.append((*state, "flush"))
+            out_uid.extend([users[i0]] * len(rows))
+            out.extend(rows)
         return pd.DataFrame(
             {
-                "user_id": [uid] * len(out),
+                "user_id": pd.Series(out_uid, dtype=pdf["user_id"].dtype),
                 "session_start": [o[0] for o in out],
                 "session_end": [o[1] for o in out],
                 "n_events": pd.array([o[2] for o in out], dtype="Int64"),
@@ -271,4 +285,10 @@ def replay_sessions_batched(
             }
         )
 
-    return ev.groupBy("user_id").applyInPandas(fn, out_schema)
+    return grouped_map_sorted(
+        ev,
+        key_col="user_id",
+        sort_cols=["sec"],
+        fn_groups=fn_groups,
+        out_schema=out_schema,
+    )
