@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .errors import ErrorCode
-from .fields import Field, Object, json_inner_string, json_token_type
+from .fields import Field, Object, json_inner_string, json_token_type, json_trimmed
 
 __all__ = ["CHECK_DDL", "CompiledPlan", "SchemaCompileError", "compile_plan"]
 
@@ -70,6 +70,15 @@ class CompiledPlan:
     loaded: dict = dc_field(default_factory=dict)
     #: compile-time (schema-level) violations, emitted as constant rows
     schema_violations: list = dc_field(default_factory=list)
+    #: helper-column layers (staged mode: shared token-classification
+    #: subtrees), projected in ORDER before the check expressions and
+    #: dropped afterwards — later layers reference earlier ones (trim ->
+    #: token type / inner string -> value repr), so each layer is its
+    #: own projection
+    prelude: list = dc_field(default_factory=list)
+
+    def prelude_columns(self) -> list:
+        return [name for layer in self.prelude for name in layer]
 
     def violations_column(self) -> Column:
         if not self.check_arrays:
@@ -221,8 +230,54 @@ def _compile_field(
     key: str,
     staged: bool,
     src_dtype: Optional[T.DataType],
+    prelude: Optional[dict] = None,
 ) -> tuple[Column, Column]:
-    """Returns (checks_array, loaded_value) for one field."""
+    """Returns (checks_array, loaded_value) for one field.
+
+    In staged mode with a ``prelude`` dict, the shared JSON token
+    classification subtrees (trim / token type / inner string / value
+    repr) are emitted ONCE as helper columns into ``prelude`` and every
+    consumer references them by name — without this each tree was
+    copied into every check and the compiled method outgrew the JVM's
+    JIT limit (see fields._STAGED_HELPERS)."""
+    from . import fields as _fields
+
+    if staged and prelude is not None:
+        while len(prelude) < 3:
+            prelude.append({})
+        names = {
+            "trim": f"__sp_tr__{key}",
+            "jt": f"__sp_jt__{key}",
+            "inner": f"__sp_in__{key}",
+            "repr": f"__sp_vr__{key}",
+        }
+        # build each helper with the previously registered ones active,
+        # so later LAYERS (token type, then value repr) reference
+        # earlier ones by column name
+        token = {}
+        try:
+            _fields._STAGED_HELPERS = token
+            prelude[0][names["trim"]] = F.trim(src)
+            token["trim"] = names["trim"]
+            prelude[1][names["jt"]] = _fields.json_token_type(src)
+            prelude[1][names["inner"]] = _fields.json_inner_string(src)
+            token["jt"] = names["jt"]
+            token["inner"] = names["inner"]
+            prelude[2][names["repr"]] = _fields.json_value_repr(src)
+            token["repr"] = names["repr"]
+            return _compile_field_body(fld, src, key, staged, src_dtype)
+        finally:
+            _fields._STAGED_HELPERS = None
+    return _compile_field_body(fld, src, key, staged, src_dtype)
+
+
+def _compile_field_body(
+    fld: Field,
+    src: Column,
+    key: str,
+    staged: bool,
+    src_dtype: Optional[T.DataType],
+) -> tuple[Column, Column]:
     value_repr = fld.value_repr(src, staged)
 
     # --- type kernel -------------------------------------------------------
@@ -259,7 +314,7 @@ def _compile_field(
         # raw validators see the pre-cast value; best relational view of
         # "the raw value" is the JSON payload for strings, token otherwise
         jt = json_token_type(src)
-        raw_view = F.when(jt == "string", json_inner_string(src)).otherwise(F.trim(src))
+        raw_view = F.when(jt == "string", json_inner_string(src)).otherwise(json_trimmed(src))
     else:
         if src_dtype is not None and not fld.accepts_spark_type(src_dtype):
             target = fld.spark_type()
@@ -480,7 +535,10 @@ def compile_plan(
             continue
 
         src = F.col(key)
-        checks, loaded = _compile_field(fld, src, key, staged, dtypes.get(key))
+        checks, loaded = _compile_field(
+            fld, src, key, staged, dtypes.get(key),
+            prelude=plan.prelude if staged else None,
+        )
         plan.check_arrays.append(checks)
         plan.loaded[key] = loaded
 

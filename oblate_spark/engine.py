@@ -163,8 +163,11 @@ class ValidationResult:
             if default is not _MISSING_SENTINEL:
                 return default
             raise FieldNotSet(fld, cls, field_name)
+        base = self.annotated
+        for layer in self.plan.prelude:  # loaded exprs may reference helpers
+            base = base.withColumns(layer)
         rows = (
-            self.annotated.filter(F.col("_row_id") == str(row_id))
+            base.filter(F.col("_row_id") == str(row_id))
             .select(self.plan.loaded[key].alias("v"))
             .limit(1)
             .collect()
@@ -197,8 +200,11 @@ class ValidationResult:
         ids = [str(r) for r in row_ids]
         if not ids:
             return {}
+        base = self.annotated
+        for layer in self.plan.prelude:  # loaded exprs may reference helpers
+            base = base.withColumns(layer)
         rows = (
-            self.annotated.filter(F.col("_row_id").isin(ids))
+            base.filter(F.col("_row_id").isin(ids))
             .select(F.col("_row_id").alias("k"), self.plan.loaded[key].alias("v"))
             .collect()
         )
@@ -282,10 +288,20 @@ def validate(
     finally:
         _reset_current(token)
     ctx._initialized = True
-    annotated = df.withColumns(
+    base = df
+    for layer in plan.prelude:
+        # shared staged-mode subtrees (token classification etc.) are
+        # projected once per layer; every check references them by name.
+        # The projections survive CollapseProject because the helpers
+        # are non-cheap and multiply referenced; they are dropped from
+        # the visible annotated frame below.
+        base = base.withColumns(layer)
+    annotated = base.withColumns(
         {
             "_row_id": _resolve_row_id(df, row_id),
             "_violations": violations_col,
         }
     ).withColumn("_valid", F.size("_violations") == 0)
+    if plan.prelude:
+        annotated = annotated.drop(*plan.prelude_columns())
     return ValidationResult(annotated=annotated, plan=plan, context=ctx)

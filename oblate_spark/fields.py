@@ -84,10 +84,32 @@ MISSING = _MissingType()
 _INT_RE = r"^-?\d+$"
 _FLOAT_RE = r"^-?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?$"
 
+#: Active staged-compile helper registry (compiler.py sets it around one
+#: field's staged compile): maps 'jt'/'inner'/'repr' to the name of a
+#: pre-projected helper column. When set, the classification builders
+#: below return a cheap column REFERENCE instead of re-instantiating
+#: the regex-laden CASE tree — the tree used to be copied into every
+#: consumer (loaded value, type error, raw view, every check's
+#: value_repr), which made the compiled method too large to JIT
+#: (round 6; the staged kernel ran 2.7x slower as interpreted
+#: bytecode). The compiler builds each tree exactly once into a
+#: prelude projection; CollapseProject keeps the projection because the
+#: helpers are non-cheap and multiply referenced.
+_STAGED_HELPERS: dict | None = None
+
+
+def json_trimmed(src: Column) -> Column:
+    """``trim(src)`` — or the pre-projected helper when one is active."""
+    if _STAGED_HELPERS is not None and "trim" in _STAGED_HELPERS:
+        return F.col(_STAGED_HELPERS["trim"])
+    return F.trim(src)
+
 
 def json_token_type(src: Column) -> Column:
     """Classify a JSON-encoded cell: bool/int/float/string/array/object/null."""
-    t = F.trim(src)
+    if _STAGED_HELPERS is not None and "jt" in _STAGED_HELPERS:
+        return F.col(_STAGED_HELPERS["jt"])
+    t = json_trimmed(src)
     return (
         F.when(t.isin("true", "false"), F.lit("bool"))
         .when(t.rlike(_INT_RE), F.lit("int"))
@@ -103,14 +125,18 @@ def json_token_type(src: Column) -> Column:
 def json_inner_string(src: Column) -> Column:
     """Extract the payload of a JSON string token (no unescaping — the
     staged fixtures avoid escape sequences by construction)."""
-    t = F.trim(src)
+    if _STAGED_HELPERS is not None and "inner" in _STAGED_HELPERS:
+        return F.col(_STAGED_HELPERS["inner"])
+    t = json_trimmed(src)
     return t.substr(F.lit(2), F.length(t) - 2)
 
 
 def json_value_repr(src: Column) -> Column:
     """Python-``repr``-alike of a JSON-encoded cell, for message
     templates like ``Failed to coerce {value!r} to integer``."""
-    t = F.trim(src)
+    if _STAGED_HELPERS is not None and "repr" in _STAGED_HELPERS:
+        return F.col(_STAGED_HELPERS["repr"])
+    t = json_trimmed(src)
     jt = json_token_type(src)
     return (
         F.when(jt == "string", F.concat(F.lit("'"), json_inner_string(src), F.lit("'")))
@@ -333,7 +359,7 @@ class String(Field):
             ).otherwise(_null_error())
             return StagedLoad(loaded=F.when(jt == "string", inner), type_error=err)
         # str(value): string -> payload; bool -> 'True'/'False'; number -> token
-        t = F.trim(src)
+        t = json_trimmed(src)
         loaded = (
             F.when(jt == "string", inner)
             .when(jt == "bool", F.when(t == "true", F.lit("True")).otherwise(F.lit("False")))
@@ -360,7 +386,7 @@ class Integer(Field):
 
     def staged_load(self, src: Column) -> StagedLoad:
         jt = json_token_type(src)
-        t = F.trim(src)
+        t = json_trimmed(src)
         inner = json_inner_string(src)
         if self.strict:
             ok = jt.isin("int", "bool")  # bool quirk
@@ -406,7 +432,7 @@ class Float(Field):
 
     def staged_load(self, src: Column) -> StagedLoad:
         jt = json_token_type(src)
-        t = F.trim(src)
+        t = json_trimmed(src)
         inner = json_inner_string(src)
         if self.strict:
             err = F.when(
@@ -457,7 +483,7 @@ class Boolean(Field):
 
     def staged_load(self, src: Column) -> StagedLoad:
         jt = json_token_type(src)
-        t = F.trim(src)
+        t = json_trimmed(src)
         inner = json_inner_string(src)
         if self.strict:
             err = F.when(
@@ -824,7 +850,7 @@ class Literal(Field):
         ]
 
     def staged_load(self, src: Column) -> StagedLoad:
-        t = F.trim(src)
+        t = json_trimmed(src)
         tokens = [json.dumps(v) for v in self.values]
         numeric = [v for v in self.values if isinstance(v, (int, float)) and not isinstance(v, bool)]
         ok = t.isin(tokens)

@@ -47,25 +47,20 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # Compiled-plan validation builds wide check-array expressions; two
-        # measured plan-hygiene defaults (round 6, see OPTIMIZATION_r06.md):
-        # - InferFiltersFromGenerate duplicates the ENTIRE generator
-        #   expression into a pre-Generate filter, so every violations
-        #   array was computed twice per row (explode itself already
-        #   drops empty arrays); excluding the rule halved staged
-        #   validation. Scale-independent: it is pure per-row compute.
-        # - hugeMethodLimit=8000 aligns Spark's whole-stage-codegen
-        #   bailout with HotSpot's DontCompileHugeMethods limit (8000
-        #   bytecodes): beyond it the generated method never JITs and
-        #   runs as interpreted BYTECODE, measurably slower than Spark's
-        #   interpreted-expression path with subexpression elimination
-        #   (4.55s -> 1.69s on the staged lineitem kernel at sf0.1).
-        #   Normal-size stages keep codegen exactly as before.
+        # Plan-hygiene default measured in round 6 (OPTIMIZATION_r06.md):
+        # InferFiltersFromGenerate copies the ENTIRE generator expression
+        # into a pre-Generate filter, so every compiled violations array
+        # was evaluated twice per row (the filter is pushed through the
+        # projection by alias substitution, which is cost-unaware, and
+        # Generate already drops empty arrays). Excluding it cut staged
+        # lineitem validation 10.97s -> 5.81s at sf0.1; the cost on
+        # prune-friendly jobs (image report explode) measured ~1s the
+        # other way — net strongly positive, and scale-independent
+        # (pure per-row compute, no shuffle involvement).
         .config(
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
-        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.driver.memory", os.environ.get("OBLATE_SPARK_DRIVER_MEM", "12g"))

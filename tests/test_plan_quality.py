@@ -331,9 +331,11 @@ def test_tfidf_rational_idf_matches_log_ranking_shape(spark, images_path):
 
 def test_replay_sessions_single_shuffle_single_pandas_stage(spark):
     """The stream-replay operator must shuffle ONCE on user_id into one
-    ApplyInPandas group stage — the operator class most at risk of
-    silently gaining a second exchange (e.g. a repartition sneaking in
-    before the groupBy)."""
+    partition-level pandas stage (round 6: grouped_map_sorted =
+    repartition + sortWithinPartitions + MapInPandas replaced the
+    per-group FlatMapGroupsInPandas, which paid a Python call per key) —
+    the operator class most at risk of silently gaining a second
+    exchange."""
     from oblate_spark.streaming.sessions_stream import replay_sessions_batched
 
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
@@ -346,7 +348,7 @@ def test_replay_sessions_single_shuffle_single_pandas_stage(spark):
     nodes = [l.strip() for l in plan.splitlines() if re.match(r"^\s*\(\d+\)", l)]
     assert sum("Exchange" in n for n in nodes) == 1, nodes
     assert "hashpartitioning(user_id" in plan, plan[:3000]
-    assert sum("FlatMapGroupsInPandas" in n for n in nodes) == 1, nodes
+    assert sum(("MapInPandas" in n) or ("FlatMapGroupsInPandas" in n) for n in nodes) == 1, nodes
     # output key keeps the source dtype (round-4's one red oracle row
     # was a silent bigint->string cast here)
     assert dict(out.dtypes)["user_id"] == dict(ev.dtypes)["user_id"]

@@ -90,19 +90,13 @@ def test_nonstrict_coercions(spark):
     )
     res = LaxSchema.validate(df, mode="staged")
     assert violations_map(res) == {}
-    loaded = res.annotated.selectExpr(
-        "row_id",
-        "try_cast(i as bigint)",  # placeholder; loaded values checked via plan below
-    )
-    # check coerced values via plan.loaded
-    out = res.annotated.select(
-        "row_id",
-        res.plan.loaded["s"].alias("s"),
-        res.plan.loaded["i"].alias("i"),
-        res.plan.loaded["f"].alias("f"),
-        res.plan.loaded["b"].alias("b"),
-    ).collect()
-    byid = {r["row_id"]: r for r in out}
+    # check coerced values via the public lookup API (plan.loaded
+    # expressions reference the staged helper prelude since round 6, so
+    # they resolve through get_values_for, not over bare annotated)
+    byid: dict = {}
+    for fieldname in ("s", "i", "f", "b"):
+        for rid, v in res.get_values_for(["0", "1"], fieldname).items():
+            byid.setdefault(rid, {})[fieldname] = v
     assert byid["0"]["s"] == "123"
     assert byid["0"]["i"] == 30
     assert byid["0"]["f"] == pytest.approx(3.14)
