@@ -60,16 +60,23 @@ def normalized_text(col):
 def exact_duplicates(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
     """Rows belonging to exact-duplicate groups (after normalization):
     (id, content_hash, group_size). One shuffle on the 32-hex md5 —
-    uniformly distributed, no skew."""
+    uniformly distributed, no skew.
+
+    group_size is a count() window over that one shuffle (round 6): the
+    old groupBy + join-back shape normalized and hashed the corpus
+    TWICE (once per join side — ReuseExchange does not fire across the
+    partial-aggregate asymmetry) and shuffled the hash key twice."""
+    from pyspark.sql import Window
+
     hashed = df.select(
         F.col(id_col), F.md5(normalized_text(F.col(text_col))).alias("content_hash")
     )
-    groups = (
-        hashed.groupBy("content_hash")
-        .agg(F.count(F.lit(1)).alias("group_size"))
+    size = F.count(F.lit(1)).over(Window.partitionBy("content_hash"))
+    return (
+        hashed.withColumn("group_size", size)
         .filter(F.col("group_size") > 1)
+        .select(id_col, "content_hash", "group_size")
     )
-    return hashed.join(groups, "content_hash").select(id_col, "content_hash", "group_size")
 
 
 def shingles(df: DataFrame, *, id_col: str, text_col: str, k: int = 5) -> DataFrame:
@@ -270,6 +277,9 @@ def _jaccard_all_pairs_kernel(
                         .sum(axis=2, dtype=np.int64)
                     )
                     union = sizes_a[s:e, None] + sizesb[None, :] - inter
+                    # union >= 1 always (_token_set arrays are never
+                    # empty), so no ANSI divide-by-zero parity needed;
+                    # NaN cannot arise from int/int division either
                     jac = inter.astype(np.float64) / union.astype(np.float64)
                     keep = (ids_a[s:e, None] < idsb[None, :]) & (jac >= thr)
                     ai, bi = np.nonzero(keep)
@@ -381,12 +391,30 @@ def simhash_hamming_pairs(
         F.col(id_col).alias("id_b"), F.col(sig_col).alias("sig_b"), "band", "slice_val"
     )
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+
+    def _slice(col, i):
+        return F.shiftright(col, i * width).bitwiseAND(F.lit(mask))
+
+    # canonical-band emission instead of a post-join distinct: a pair
+    # agreeing on several slices used to be emitted once per agreeing
+    # band and deduplicated with a full shuffle+aggregate over the
+    # candidate volume (14M rows at sf0.1). Emitting only at the FIRST
+    # agreeing band — i.e. when every lower band's slices differ, a few
+    # codegen'd bit comparisons on columns already present — produces
+    # each qualifying pair exactly once, same result set, zero extra
+    # Exchange.
+    first_band = F.lit(True)
+    for j in range(bands - 1):
+        lower_differs = F.when(
+            F.col("band") > j,
+            _slice(F.col("sig_a"), j) != _slice(F.col("sig_b"), j),
+        ).otherwise(F.lit(True))
+        first_band = first_band & lower_differs
     return (
         a.join(b, on=["band", "slice_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("id_a") < F.col("id_b")) & first_band)
         .select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_distance)
-        .distinct()
     )
 
 
@@ -538,11 +566,21 @@ def _embedding_all_pairs_kernel(
                 step = max(1, 8_000_000 // max(len(ids_b), 1))
                 for s in range(0, len(ids_a), step):
                     e = s + step
-                    with np.errstate(divide="ignore", invalid="ignore"):
-                        cos = _fold_gram(mat_a[s:e], mat_b) / (
-                            norms_a[s:e, None] * norms_b[None, :]
+                    idmask = ids_a[s:e, None] < ids_b[None, :]
+                    denom = norms_a[s:e, None] * norms_b[None, :]
+                    # ANSI parity: the Column expression raises
+                    # DIVIDE_BY_ZERO when a zero-norm vector reaches the
+                    # cosine division (spark.sql.ansi.enabled default)
+                    if np.any(idmask & (denom == 0.0)):
+                        raise ArithmeticError(
+                            "[DIVIDE_BY_ZERO] zero-norm embedding in "
+                            "cosine near-duplicate computation"
                         )
-                        keep = (ids_a[s:e, None] < ids_b[None, :]) & (cos >= thr)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = _fold_gram(mat_a[s:e], mat_b) / denom
+                        # NaN parity: Spark comparisons order NaN above
+                        # every value, so a NaN cosine PASSES >= thr
+                        keep = idmask & ((cos >= thr) | np.isnan(cos))
                     ai, bi = np.nonzero(keep)
                     if len(ai):
                         out_a.extend(ids_a[s + ai].tolist())
@@ -589,32 +627,27 @@ def duplicate_clusters(
     if max_iter < 1:
         raise ValueError("max_iter must be >= 1")
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = (
-        edges.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    # no distinct: hash-min's MIN aggregation is idempotent to duplicate
+    # edges, so deduplicating them bought nothing but a full extra
+    # shuffle+aggregate of the edge list every run (round 6)
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster_id", F.col("id"))
     )
-    converged = False
-    for _ in range(max_iter):
+    def _step(cur: DataFrame) -> DataFrame:
         nbr_min = (
-            edges.join(labels, edges["src"] == labels["id"])
+            edges.join(cur, edges["src"] == cur["id"])
             .groupBy(edges["dst"].alias("id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
         # the old label is already on the join — carry a per-row change
-        # flag instead of re-joining old vs new labels afterwards: one
-        # localCheckpoint job per round instead of two (round 6; the
-        # convergence test is then a metadata-cheap filter+limit over
-        # the materialized rows)
-        new_labels = (
-            labels.alias("l")
+        # flag instead of re-joining old vs new labels afterwards
+        return (
+            cur.alias("l")
             .join(nbr_min.alias("n"), "id", "left")
             .select(
                 F.col("id"),
@@ -627,7 +660,20 @@ def duplicate_clusters(
                     < F.col("l.cluster_id")
                 ).alias("__changed"),
             )
-            .localCheckpoint(eager=True)
+        )
+
+    converged = False
+    for _ in range(max_iter):
+        # TWO hash-min propagations per materialization (round 6): the
+        # per-round cost on converging graphs is job latency, not data
+        # volume, so composing two label-update joins into one
+        # localCheckpoint + one convergence probe halves the job count.
+        # Labels decrease monotonically to the component min, so a quiet
+        # SECOND step (__changed all false) is a fixed point regardless
+        # of what the first step did — the same convergence test as
+        # before, with doubled headroom per max_iter unit.
+        new_labels = _step(_step(labels).drop("__changed")).localCheckpoint(
+            eager=True
         )
         changed = new_labels.filter(F.col("__changed")).limit(1).count()
         labels = new_labels.drop("__changed")

@@ -278,6 +278,11 @@ def ivf_bucket_candidate_pairs(
     assigned, _ = ivf_assign(
         corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
     )
+    # both self-join sides reference the assignment; materialize the
+    # slim (id, bucket) table once or the per-vector centroid argmax
+    # (n_centroids cosine folds per row) runs twice — same pattern as
+    # lsh_candidate_pairs (round 6)
+    assigned = assigned.select(F.col(id_col), "bucket").localCheckpoint(eager=True)
     a = assigned.select(F.col(id_col).alias("id_a"), "bucket")
     b = assigned.select(F.col(id_col).alias("id_b"), "bucket")
     return (

@@ -229,11 +229,15 @@ def multi_key_uniqueness_violations(
     """Uniqueness violations for SEVERAL key columns in ONE aggregation.
 
     Instead of one groupBy + join-back per key (2 shuffles + 2 joins for
-    image_id + phash), the row explodes to (key_name, key_value) pairs,
-    a single groupBy finds all duplicate (name, value) groups, and one
-    join-back restores row lineage. Halves the stage count of the
-    recurring validation job; same skew properties as duplicate_keys
-    (count partial-aggregates map-side)."""
+    image_id + phash), the row explodes to (key_name, key_value) pairs
+    and the duplicate count is a count() WINDOW over the single
+    (name, value) shuffle those pairs need anyway (round 6: the earlier
+    groupBy + join-back computed the explode twice and shuffled the key
+    twice). Row lineage survives because the window keeps every row.
+    Same skew properties as duplicate_keys; a hot key is one window
+    partition, which the count traverses in one pass."""
+    from pyspark.sql import Window
+
     pairs = df.select(
         F.col(row_id).cast("string").alias("row_id"),
         F.explode(
@@ -248,14 +252,10 @@ def multi_key_uniqueness_violations(
             )
         ).alias("kv"),
     ).select("row_id", "kv.field_key", "kv.key_value")
-    dups = (
-        pairs.filter(F.col("key_value").isNotNull())
-        .groupBy("field_key", "key_value")
-        .agg(F.count(F.lit(1)).alias("dup_count"))
-        .filter(F.col("dup_count") > 1)
-    )
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("field_key", "key_value"))
     return (
-        pairs.join(dups, ["field_key", "key_value"])
+        pairs.withColumn("dup_count", cnt)
+        .filter(F.col("key_value").isNotNull() & (F.col("dup_count") > 1))
         .select(
             "row_id",
             "field_key",
