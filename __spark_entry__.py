@@ -2113,59 +2113,18 @@ def _sql_phash_bit_drift(n_rows: int, threshold: str = "0.05") -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order (round 6): the driver's correctness harness checks
+    a ~50-entry PREFIX in registry order — CORRECTNESS_r04/r05 were
+    exact prefixes — so the 41 queries added after position 50 (rounds
+    3-5) had never received a driver correctness row. They now come
+    FIRST, right after two long-green canaries, so CORRECTNESS_r06
+    witnesses them; the long-green remainder follows. Same 91 names,
+    same functions, same oracles — ordering only."""
     return {
+        # canaries: longest-green core queries
         "validate_lineitem": q_validate_lineitem,
-        "validate_staged_lineitem": q_validate_staged_lineitem,
-        "verdict_summary_lineitem": q_verdict_summary_lineitem,
-        "column_profile_lineitem": q_column_profile_lineitem,
-        "duplicate_o_custkey": q_duplicate_o_custkey,
-        "referential_lineitem_orders": q_referential_lineitem_orders,
-        "histogram_extendedprice": q_histogram_extendedprice,
-        "psi_extendedprice": q_psi_extendedprice,
-        "ks_extendedprice": q_ks_extendedprice,
-        "drift_extendedprice": q_drift_extendedprice,
-        "categorical_psi_events": q_categorical_psi_events,
-        "exact_dup_documents": q_exact_dup_documents,
-        "minhash_bands_documents": q_minhash_bands_documents,
-        "lsh_candidates_documents": q_lsh_candidates_documents,
-        "jaccard_pairs_documents": q_jaccard_pairs_documents,
-        "token_count_documents": q_token_count_documents,
-        "language_id_documents": q_language_id_documents,
-        "quality_documents": q_quality_documents,
-        "fingerprint_documents": q_fingerprint_documents,
-        "top_tokens_documents": q_top_tokens_documents,
-        "simhash_documents": q_simhash_documents,
-        "knn_bruteforce": q_knn_bruteforce,
-        "embedding_near_dup": q_embedding_near_dup,
-        "jaccard_on_lsh_candidates": q_jaccard_on_lsh_candidates,
-        "ivf_knn": q_ivf_knn,
-        "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
-        "dup_clusters_documents": q_dup_clusters_documents,
-        "sessionization_events": q_sessionization_events,
-        "sessionization_stream_replay": q_sessionization_stream_replay,
-        "events_hourly_counts": q_events_hourly_counts,
-        # golden-manifest oracles (closed-form fixture manifests)
         "image_validation": q_image_validation,
-        "audio_validation": q_audio_validation,
-        "video_validation": q_video_validation,
-        "video_frame_sample_facts": q_video_frame_sample_facts,
-        "subword_count_documents": q_subword_count_documents,
-        # sketch, oracle-gated via tolerance booleans vs exact quantiles
-        "tdigest_quantiles": q_tdigest_quantiles,
-        "grouped_tdigest_events": q_grouped_tdigest_events,
-        "pii_scrub_documents": q_pii_scrub_documents,
-        "tfidf_top_terms_documents": q_tfidf_top_terms_documents,
-        "fd_violations_lineitem": q_fd_violations_lineitem,
-        "null_implication_documents": q_null_implication_documents,
-        "asof_clicks_purchases": q_asof_clicks_purchases,
-        "interval_join_events": q_interval_join_events,
-        "repetition_signals_documents": q_repetition_signals_documents,
-        "approx_distinct_lineitem": q_approx_distinct_lineitem,
-        "simhash_near_dup_documents": q_simhash_near_dup_documents,
-        "ngram_contamination_documents": q_ngram_contamination_documents,
-        "pack_sequences_documents": q_pack_sequences_documents,
-        "deterministic_sample_documents": q_deterministic_sample_documents,
-        "mixture_sample_documents": q_mixture_sample_documents,
+        # rounds 3-5 additions, never driver-checked before round 6
         "rolling_event_features": q_rolling_event_features,
         "dedup_stream_replay": q_dedup_stream_replay,
         "dup_shingle_fraction_documents": q_dup_shingle_fraction_documents,
@@ -2207,6 +2166,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_outliers_embeddings": q_centroid_outliers_embeddings,
         "aspect_bucket_batches": q_aspect_bucket_batches,
         "snapshot_diff_orders": q_snapshot_diff_orders,
+        # long-green queries (driver-checked in rounds 2-5)
+        "validate_staged_lineitem": q_validate_staged_lineitem,
+        "verdict_summary_lineitem": q_verdict_summary_lineitem,
+        "column_profile_lineitem": q_column_profile_lineitem,
+        "duplicate_o_custkey": q_duplicate_o_custkey,
+        "referential_lineitem_orders": q_referential_lineitem_orders,
+        "histogram_extendedprice": q_histogram_extendedprice,
+        "psi_extendedprice": q_psi_extendedprice,
+        "ks_extendedprice": q_ks_extendedprice,
+        "drift_extendedprice": q_drift_extendedprice,
+        "categorical_psi_events": q_categorical_psi_events,
+        "exact_dup_documents": q_exact_dup_documents,
+        "minhash_bands_documents": q_minhash_bands_documents,
+        "lsh_candidates_documents": q_lsh_candidates_documents,
+        "jaccard_pairs_documents": q_jaccard_pairs_documents,
+        "token_count_documents": q_token_count_documents,
+        "language_id_documents": q_language_id_documents,
+        "quality_documents": q_quality_documents,
+        "fingerprint_documents": q_fingerprint_documents,
+        "top_tokens_documents": q_top_tokens_documents,
+        "simhash_documents": q_simhash_documents,
+        "knn_bruteforce": q_knn_bruteforce,
+        "embedding_near_dup": q_embedding_near_dup,
+        "jaccard_on_lsh_candidates": q_jaccard_on_lsh_candidates,
+        "ivf_knn": q_ivf_knn,
+        "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
+        "dup_clusters_documents": q_dup_clusters_documents,
+        "sessionization_events": q_sessionization_events,
+        "sessionization_stream_replay": q_sessionization_stream_replay,
+        "events_hourly_counts": q_events_hourly_counts,
+        # golden-manifest oracles (closed-form fixture manifests)
+        "audio_validation": q_audio_validation,
+        "video_validation": q_video_validation,
+        "video_frame_sample_facts": q_video_frame_sample_facts,
+        "subword_count_documents": q_subword_count_documents,
+        # sketch, oracle-gated via tolerance booleans vs exact quantiles
+        "tdigest_quantiles": q_tdigest_quantiles,
+        "grouped_tdigest_events": q_grouped_tdigest_events,
+        "pii_scrub_documents": q_pii_scrub_documents,
+        "tfidf_top_terms_documents": q_tfidf_top_terms_documents,
+        "fd_violations_lineitem": q_fd_violations_lineitem,
+        "null_implication_documents": q_null_implication_documents,
+        "asof_clicks_purchases": q_asof_clicks_purchases,
+        "interval_join_events": q_interval_join_events,
+        "repetition_signals_documents": q_repetition_signals_documents,
+        "approx_distinct_lineitem": q_approx_distinct_lineitem,
+        "simhash_near_dup_documents": q_simhash_near_dup_documents,
+        "ngram_contamination_documents": q_ngram_contamination_documents,
+        "pack_sequences_documents": q_pack_sequences_documents,
+        "deterministic_sample_documents": q_deterministic_sample_documents,
+        "mixture_sample_documents": q_mixture_sample_documents,
     }
 
 

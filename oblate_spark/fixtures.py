@@ -495,6 +495,12 @@ def build_phash_df(spark: SparkSession, n_rows: int, *, partitions: int | None =
     ``spark.range`` — zero Python rows, identical at any parallelism."""
     from pyspark.sql import functions as F
 
+    if n_rows > 8_300_000:
+        raise ValueError(
+            "build_phash_df: n_rows > 8_300_000 would overflow i * "
+            f"{_PHASH_MUL} past 2^63 (silent signed wraparound in Spark "
+            "with ANSI off, while the DuckDB twin would not wrap)"
+        )
     if partitions is None:
         partitions = max(spark.sparkContext.defaultParallelism, 8)
     i = F.col("id")
@@ -521,6 +527,11 @@ def build_phash_df(spark: SparkSession, n_rows: int, *, partitions: int | None =
 def phash_oracle_cte(n_rows: int) -> str:
     """The DuckDB twin of :func:`build_phash_df` as a CTE body — kept
     beside the Python formula so the two can't drift apart silently."""
+    if n_rows > 8_300_000:
+        raise ValueError(
+            "phash_oracle_cte: n_rows > 8_300_000 would overflow i * "
+            f"{_PHASH_MUL} past 2^63 (see build_phash_df guard)"
+        )
     return f"""
         SELECT 'img_' || lpad(i::VARCHAR, 12, '0') AS image_id,
                CASE

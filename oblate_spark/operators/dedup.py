@@ -774,7 +774,13 @@ def pair_label_consistency(
     projection. The pair list is the near-dup output — orders of
     magnitude smaller than the corpus — so AQE broadcasts it and the
     big side never shuffles; null labels compare with eqNullSafe (two
-    missing captions still "agree")."""
+    missing captions still "agree").
+
+    Input contract: ``items`` must contain EVERY id referenced by
+    ``pairs``, exactly once. The joins are inner, so a pair whose id is
+    missing from ``items`` is silently dropped (under-count) and a
+    duplicated id fans its pairs out (over-count) — dedupe ``items`` on
+    ``id_col`` upstream if its uniqueness is not already guaranteed."""
     lab = items.select(F.col(id_col), F.col(label_col))
     a = lab.select(
         F.col(id_col).alias("id_a"), F.col(label_col).alias("__label_a")

@@ -667,7 +667,15 @@ def signature_bit_profile(
     One whole-table aggregate with ``bits`` algebraic sums (map-side
     combinable, one scan, no row fan-out — an explode over bit indexes
     would multiply the scan output ``bits``x at 100 TB), unpivoted by
-    a stack projection."""
+    a stack projection.
+
+    .. caution:: An EMPTY (or all-null) input yields ``n = 0`` and NULL
+       ``frac_ones`` for every bit, and ``signature_bit_drift`` built on
+       two such profiles reports NULL ``abs_diff``/``flagged`` — i.e. an
+       empty snapshot passes the drift gate silently. Callers gating a
+       pipeline on bit drift must pre-check snapshot non-emptiness
+       (e.g. ``volume_anomaly`` or a bare count) before trusting an
+       all-NULL profile."""
     aggs = [F.count(F.col(sig_col)).alias("__n")]
     for b in range(bits):
         aggs.append(

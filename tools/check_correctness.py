@@ -104,7 +104,12 @@ def main() -> int:
         )
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    spark = get_spark(cores=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    # no \r stage-progress bars interleaving with result lines: one
+    # greppable `ok|FAIL` line per query on stdout (round-5 verdict #6)
+    spark = get_spark(
+        cores=int(os.environ.get("SPARK_GRAFT_CPUS", "8")),
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
 
     con = duckdb.connect()
     for t in TABLES:
