@@ -2121,8 +2121,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     witnesses them; the long-green remainder follows. Same 91 names,
     same functions, same oracles — ordering only."""
     return {
-        # canaries: longest-green core queries
+        # canaries: long-green core queries, ordered so the session's
+        # one-shot costs (scan/codegen init, the big staged compile, the
+        # python-worker spawn for the first Arrow exchange) land on
+        # queries whose round-5 floors already include those costs
         "validate_lineitem": q_validate_lineitem,
+        "validate_staged_lineitem": q_validate_staged_lineitem,
+        "sessionization_stream_replay": q_sessionization_stream_replay,
         "image_validation": q_image_validation,
         # rounds 3-5 additions, never driver-checked before round 6
         "rolling_event_features": q_rolling_event_features,
@@ -2167,7 +2172,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aspect_bucket_batches": q_aspect_bucket_batches,
         "snapshot_diff_orders": q_snapshot_diff_orders,
         # long-green queries (driver-checked in rounds 2-5)
-        "validate_staged_lineitem": q_validate_staged_lineitem,
         "verdict_summary_lineitem": q_verdict_summary_lineitem,
         "column_profile_lineitem": q_column_profile_lineitem,
         "duplicate_o_custkey": q_duplicate_o_custkey,
@@ -2194,7 +2198,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
         "dup_clusters_documents": q_dup_clusters_documents,
         "sessionization_events": q_sessionization_events,
-        "sessionization_stream_replay": q_sessionization_stream_replay,
         "events_hourly_counts": q_events_hourly_counts,
         # golden-manifest oracles (closed-form fixture manifests)
         "audio_validation": q_audio_validation,
