@@ -64,17 +64,30 @@ def knn_bruteforce(
     ids collide.
     """
     qid = query_id_col or id_col
+    # norms folded once per query / corpus row instead of once per
+    # (query, corpus) pair; operand order matches cosine_expr exactly
     q = F.broadcast(
-        queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("qv"))
+        queries.select(
+            F.col(qid).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            norm_expr(F.col(vec_col)).alias("__qn"),
+        )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm_expr(F.col(vec_col)).alias("__cn"),
+    )
     scored = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+            (
+                dot_expr(F.col("qv"), F.col("cv"))
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -101,18 +114,36 @@ def _centroids_from_corpus(corpus: DataFrame, id_col: str, vec_col: str, n: int)
     )
 
 
+def _fold_norm_py(vals) -> float:
+    """The exact JVM ``norm_expr`` left fold in Python doubles:
+    sqrt(((0.0 + v0*v0) + v1*v1) + ...) — Python floats are IEEE-754
+    doubles and ``math.sqrt`` is correctly rounded, so the literal this
+    produces is bit-identical to evaluating ``norm_expr`` over the same
+    literal array in the JVM (round 6: lets the per-centroid norm be a
+    plan constant instead of a per-row fold)."""
+    import math
+
+    acc = 0.0
+    for v in vals:
+        acc = acc + float(v) * float(v)
+    return math.sqrt(acc)
+
+
 def _centroid_array_literal(cent_rows) -> Column:
-    """Collected centroid rows -> array<struct<cid,vec>> literal column.
+    """Collected centroid rows -> array<struct<cid,vec,nrm>> literal.
 
     The centroid set is tiny by construction (n_centroids rows), so
     inlining it as a literal ships it inside the plan itself — every
     executor evaluates the argmax against it with ZERO join, shuffle, or
-    broadcast exchange."""
+    broadcast exchange. ``nrm`` is the centroid's fold-exact L2 norm
+    (see :func:`_fold_norm_py`) so consumers divide by a constant
+    instead of re-folding the centroid array per row."""
     return F.array(
         *[
             F.struct(
                 F.lit(int(r["centroid_id"])).alias("cid"),
                 F.array(*[F.lit(float(v)) for v in r["centroid"]]).alias("vec"),
+                F.lit(_fold_norm_py(r["centroid"])).alias("nrm"),
             )
             for r in cent_rows
         ]
@@ -158,18 +189,24 @@ def ivf_assign(
         ).limit(0)
         return empty, cents
     cent_lit = _centroid_array_literal(cent_rows)
-    # lexicographic struct max: sim first, then -cid (= smallest cid on tie)
+    # the row's own norm is folded ONCE into a helper column instead of
+    # once per centroid inside cosine_expr (n_centroids-way argmax);
+    # sim = dot/(row_norm * centroid_norm) keeps the exact operand
+    # order of cosine_expr, and the centroid norm is a literal
+    # (bit-identical: _fold_norm_py). Lexicographic struct max: sim
+    # first, then -cid (= smallest cid on tie).
+    base = corpus.withColumn("__nrm", norm_expr(vec))
     best = F.array_max(
         F.transform(
             cent_lit,
             lambda c: F.struct(
-                cosine_expr(vec, c["vec"]).alias("sim"),
+                (dot_expr(vec, c["vec"]) / (F.col("__nrm") * c["nrm"])).alias("sim"),
                 (-c["cid"]).alias("negcid"),
                 c["cid"].alias("cid"),
             ),
         )
     )
-    assigned = corpus.select(
+    assigned = base.select(
         F.col(id_col), vec.alias(vec_col), best["cid"].alias("bucket")
     )
     return assigned, cents
@@ -225,12 +262,17 @@ def knn_ivf(
     # per-query nprobe nearest buckets: sort the same literal array by
     # (-sim, cid) and slice — no window, no shuffle on the query side
     qv = F.col("qv")
+    # query norm folded once per query row (helper column) instead of
+    # once per centroid; centroid norm is a plan literal — same exact
+    # doubles as cosine_expr (see _fold_norm_py)
     probes_arr = F.slice(
         F.array_sort(
             F.transform(
                 cent_lit,
                 lambda c: F.struct(
-                    (-cosine_expr(qv, c["vec"])).alias("negsim"),
+                    (-(dot_expr(qv, c["vec"]) / (F.col("__qn") * c["nrm"]))).alias(
+                        "negsim"
+                    ),
                     c["cid"].alias("cid"),
                 ),
             )
@@ -240,19 +282,28 @@ def knn_ivf(
     )
     probes = queries.select(
         F.col(qid).alias("query_id"), F.col(vec_col).alias("qv")
-    ).select(
+    ).withColumn("__qn", norm_expr(qv)).select(
         "query_id",
         "qv",
+        "__qn",
         F.explode(F.transform(probes_arr, lambda x: x["cid"])).alias("bucket"),
     )
 
+    # candidate scoring: fold each side's norm once per ROW (corpus row
+    # / probe row) instead of once per (query, candidate) pair; the
+    # division keeps cosine_expr's operand order, so every double is
+    # bit-identical and the (cosine desc, id) ranking cannot move
     scored = (
-        assigned.join(F.broadcast(probes), "bucket")
+        assigned.withColumn("__cn", norm_expr(F.col("cv")))
+        .join(F.broadcast(probes), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+            (
+                dot_expr(F.col("qv"), F.col("cv"))
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
