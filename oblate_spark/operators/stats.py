@@ -978,6 +978,13 @@ def iqr_outlier_profile(
     evaluation order — lands on the identical double."""
     p = [0.25, 0.75]
     if exact:
+        # the exact path makes TWO serial whole-table passes (quartiles,
+        # then fence counts with literal fences); materialize the narrow
+        # numeric projection once so pass 2 reads columnar memory, not
+        # the parquet scan + projection again (round 6). The exact path
+        # is the oracle/integer-input mode by contract — the web-scale
+        # path (exact=False) stays scan-driven and un-materialized.
+        df = df.select(*[F.col(c) for c in cols]).localCheckpoint(eager=True)
         qagg = [F.percentile(F.col(c), p).alias(c) for c in cols]
     else:
         qagg = [F.percentile_approx(F.col(c), p, accuracy).alias(c) for c in cols]
@@ -1058,6 +1065,10 @@ def mad_outlier_profile(
             return F.percentile(col, 0.5)
         return F.percentile_approx(col, 0.5, accuracy)
 
+    if exact:
+        # three serial whole-table passes (median -> MAD -> fences);
+        # same narrow-projection materialization as iqr_outlier_profile
+        df = df.select(*[F.col(c) for c in cols]).localCheckpoint(eager=True)
     med_row = df.agg(
         *[_median(F.col(c)).alias(c) for c in cols]
     ).first()  # bounded collect: 1 scalar per column
