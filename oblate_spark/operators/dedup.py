@@ -308,22 +308,43 @@ def simhash(df: DataFrame, *, id_col: str, text_col: str, bits: int = 48) -> Dat
     explode tokens -> one groupBy(id) with ``bits`` conditional sums.
     """
     df = ensure_fanout_parallelism(df)  # same single-input-split hazard as shingles()
+    # Round 6: the per-token vote used to be `substring(th, j+1, 1) isin
+    # '8'..'f'` evaluated ``bits`` times per exploded token row. The
+    # vote for nibble j is just its high BIT, so the 32 md5 nibbles are
+    # parsed once into four 32-bit integer chunks (conv is exact below
+    # 2^63) and each vote becomes a shift+mask on a bigint. The ±1 sum
+    # b_j relates to the set-bit count s_j by b_j = 2*s_j - n, so the
+    # sign test b_j > 0 is the exact integer test 2*s_j > n. Nibbles
+    # past the 32-char digest (bits 32..47 with the 48-bit default)
+    # keep the pinned empty-substring semantics: vote -1 always, so the
+    # signature bit is constantly 0 — no aggregate needed.
     toks = df.select(
         F.col(id_col), F.explode(_token_set(F.col(text_col))).alias("tok")
     ).select(F.col(id_col), F.md5(F.col("tok")).alias("th"))
-    high = list("89abcdef")
-    aggs = [
-        F.sum(
-            F.when(F.substring(F.col("th"), j + 1, 1).isin(high), 1).otherwise(-1)
-        ).alias(f"b_{j}")
-        for j in range(bits)
-    ]
-    wide = toks.groupBy(id_col).agg(*aggs)
-    sig = None
-    for j in range(bits):
-        bit = F.when(F.col(f"b_{j}") > 0, F.lit(1).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
+    n_hex = min(bits, 32)
+    n_chunks = -(-n_hex // 8)
+    chunked = toks.select(
+        F.col(id_col),
+        *[
+            F.conv(F.substring(F.col("th"), 8 * k + 1, 8), 16, 10)
+            .cast("bigint")
+            .alias(f"c_{k}")
+            for k in range(n_chunks)
+        ],
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for j in range(n_hex):
+        chunk = F.col(f"c_{j // 8}")
+        shift = (7 - (j % 8)) * 4 + 3  # high bit of nibble j (MSB-first)
+        aggs.append(
+            F.sum(F.shiftright(chunk, shift).bitwiseAND(F.lit(1))).alias(f"s_{j}")
         )
+    wide = chunked.groupBy(id_col).agg(*aggs)
+    sig = None
+    for j in range(n_hex):
+        bit = F.when(
+            F.col(f"s_{j}") * 2 > F.col("__n"), F.lit(1).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
         term = bit * F.lit(2**j).cast("bigint")
         sig = term if sig is None else sig + term
     return wide.select(F.col(id_col), sig.alias("simhash"))
