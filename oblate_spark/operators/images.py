@@ -484,5 +484,10 @@ def image_payload_report_from_files(
                 out.update(res)
                 yield pd.DataFrame(out)
 
-    fdf = spark.createDataFrame([(f,) for f in files], "file string").repartition(len(files))
+    # one file per partition WITHOUT a repartition exchange: parallelize
+    # with explicit slice count places each path directly (the old
+    # repartition paid a full 128-task shuffle stage of 128 rows on
+    # every invocation — pure per-job constant, round 6)
+    rdd = spark.sparkContext.parallelize([(f,) for f in files], len(files))
+    fdf = spark.createDataFrame(rdd, "file string")
     return fdf.mapInPandas(kernel, IMAGE_REPORT_SCHEMA)
